@@ -1,0 +1,3 @@
+from hiphase_tpu.align.edit_distance import edit_distance
+
+__all__ = ["edit_distance"]
