@@ -1,0 +1,541 @@
+"""BAM reader/writer with BAI indexing — native implementation (no htslib).
+
+Covers what the reference uses from rust-htslib (SURVEY.md §2 L0): indexed
+region fetch, CIGAR access/aligned-pairs walk, aux tags (RG, SA, HP, PS),
+record rewrite with tag strip/add, header SM/RG parsing, and index build.
+
+Spec: SAM/BAM v1.6 (samtools/hts-specs). Binary layout §4.2, BAI §5.2.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+from hiphase_tpu.io.bgzf import BgzfReader, BgzfWriter
+
+BAM_MAGIC = b"BAM\x01"
+BAI_MAGIC = b"BAI\x01"
+
+CIGAR_OPS = "MIDNSHP=X"
+_CONSUMES_QUERY = frozenset("MIS=X")
+_CONSUMES_REF = frozenset("MDN=X")
+SEQ_NT16 = "=ACMGRSVTWYHKDBN"
+
+# FLAG bits
+FLAG_PAIRED = 0x1
+FLAG_UNMAPPED = 0x4
+FLAG_REVERSE = 0x10
+FLAG_SECONDARY = 0x100
+FLAG_QCFAIL = 0x200
+FLAG_DUPLICATE = 0x400
+FLAG_SUPPLEMENTARY = 0x800
+
+_PSEUDO_BIN = 37450
+_LINEAR_SHIFT = 14
+
+
+class BamError(IOError):
+    pass
+
+
+@dataclass
+class BamRecord:
+    """One alignment record. Keeps the raw on-disk bytes for cheap rewrite;
+    parsed fields are materialized on construction (cheap for our access
+    patterns: every consumer touches name/flag/pos/cigar)."""
+
+    raw: bytes  # record body WITHOUT the leading block_size int32
+    refid: int
+    pos: int
+    mapq: int
+    flag: int
+    read_name: str
+    n_cigar_op: int
+    l_seq: int
+    _cigar_off: int
+    _seq_off: int
+    _qual_off: int
+    _aux_off: int
+
+    @classmethod
+    def parse(cls, raw: bytes) -> "BamRecord":
+        (refid, pos, l_read_name, mapq, _bin, n_cigar_op, flag, l_seq,
+         _next_refid, _next_pos, _tlen) = struct.unpack_from("<iiBBHHHIiii", raw, 0)
+        name_off = 32
+        cigar_off = name_off + l_read_name
+        seq_off = cigar_off + 4 * n_cigar_op
+        qual_off = seq_off + (l_seq + 1) // 2
+        aux_off = qual_off + l_seq
+        read_name = raw[name_off:cigar_off - 1].decode()
+        return cls(raw, refid, pos, mapq, flag, read_name, n_cigar_op, l_seq,
+                   cigar_off, seq_off, qual_off, aux_off)
+
+    # ---- flags ----
+    @property
+    def is_unmapped(self) -> bool:
+        return bool(self.flag & FLAG_UNMAPPED)
+
+    @property
+    def is_secondary(self) -> bool:
+        return bool(self.flag & FLAG_SECONDARY)
+
+    @property
+    def is_qcfail(self) -> bool:
+        return bool(self.flag & FLAG_QCFAIL)
+
+    @property
+    def is_duplicate(self) -> bool:
+        return bool(self.flag & FLAG_DUPLICATE)
+
+    @property
+    def is_supplementary(self) -> bool:
+        return bool(self.flag & FLAG_SUPPLEMENTARY)
+
+    @property
+    def is_reverse(self) -> bool:
+        return bool(self.flag & FLAG_REVERSE)
+
+    # ---- cigar / coordinates ----
+    def cigar(self) -> list[tuple[str, int]]:
+        out = []
+        for i in range(self.n_cigar_op):
+            v = struct.unpack_from("<I", self.raw, self._cigar_off + 4 * i)[0]
+            out.append((CIGAR_OPS[v & 0xF], v >> 4))
+        return out
+
+    def reference_end(self) -> int:
+        """pos + reference-consumed length (exclusive end)."""
+        end = self.pos
+        for i in range(self.n_cigar_op):
+            v = struct.unpack_from("<I", self.raw, self._cigar_off + 4 * i)[0]
+            if CIGAR_OPS[v & 0xF] in _CONSUMES_REF:
+                end += v >> 4
+        return end
+
+    def reference_range(self) -> tuple[int, int]:
+        return self.pos, self.reference_end()
+
+    def aligned_pairs(self):
+        """Yield (query_pos, ref_pos) for each aligned (M/=/X) base — the
+        CIGAR walk used to build ref→read coordinate maps
+        (ref: read_parsing.rs:136-148)."""
+        qpos = 0
+        rpos = self.pos
+        for op, length in self.cigar():
+            if op in "M=X":
+                for k in range(length):
+                    yield (qpos + k, rpos + k)
+                qpos += length
+                rpos += length
+            elif op in "IS":
+                qpos += length
+            elif op in "DN":
+                rpos += length
+            # H and P consume nothing
+
+    def query_sequence(self) -> bytes:
+        out = bytearray(self.l_seq)
+        raw = self.raw
+        off = self._seq_off
+        for i in range(self.l_seq):
+            b = raw[off + (i >> 1)]
+            nib = (b >> 4) if (i & 1) == 0 else (b & 0xF)
+            out[i] = ord(SEQ_NT16[nib])
+        return bytes(out)
+
+    def query_qualities(self) -> bytes:
+        return self.raw[self._qual_off:self._qual_off + self.l_seq]
+
+    # ---- aux tags ----
+    def _iter_aux(self):
+        """Yield (tag, type_char, value_start, value_end, value)."""
+        raw = self.raw
+        off = self._aux_off
+        n = len(raw)
+        while off + 3 <= n:
+            tag = raw[off:off + 2].decode()
+            tc = chr(raw[off + 2])
+            vs = off + 3
+            if tc == "A":
+                ve, val = vs + 1, chr(raw[vs])
+            elif tc == "c":
+                ve, val = vs + 1, struct.unpack_from("<b", raw, vs)[0]
+            elif tc == "C":
+                ve, val = vs + 1, raw[vs]
+            elif tc == "s":
+                ve, val = vs + 2, struct.unpack_from("<h", raw, vs)[0]
+            elif tc == "S":
+                ve, val = vs + 2, struct.unpack_from("<H", raw, vs)[0]
+            elif tc == "i":
+                ve, val = vs + 4, struct.unpack_from("<i", raw, vs)[0]
+            elif tc == "I":
+                ve, val = vs + 4, struct.unpack_from("<I", raw, vs)[0]
+            elif tc == "f":
+                ve, val = vs + 4, struct.unpack_from("<f", raw, vs)[0]
+            elif tc in "ZH":
+                ve = raw.index(b"\x00", vs)
+                val = raw[vs:ve].decode()
+                ve += 1
+            elif tc == "B":
+                sub = chr(raw[vs])
+                count = struct.unpack_from("<I", raw, vs + 1)[0]
+                width = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
+                ve = vs + 5 + width * count
+                fmt = "<" + str(count) + {"c": "b", "C": "B", "s": "h", "S": "H",
+                                          "i": "i", "I": "I", "f": "f"}[sub]
+                val = list(struct.unpack_from(fmt, raw, vs + 5))
+            else:
+                raise BamError(f"unknown aux type {tc!r} in {self.read_name}")
+            yield tag, tc, off, ve, val
+            off = ve
+
+    def get_tag(self, tag: str):
+        for t, _tc, _s, _e, val in self._iter_aux():
+            if t == tag:
+                return val
+        return None
+
+    def strip_tags(self, tags: set[str]) -> "BamRecord":
+        """Return a copy with the given aux tags removed
+        (ref: ordered_bam_writer.rs:360-378 strips HP/PS)."""
+        spans = [(s, e) for t, _tc, s, e, _v in self._iter_aux() if t in tags]
+        if not spans:
+            return self
+        raw = bytearray(self.raw)
+        for s, e in reversed(spans):
+            del raw[s:e]
+        return BamRecord.parse(bytes(raw))
+
+    def with_int_tags(self, tags: list[tuple[str, int]]) -> "BamRecord":
+        """Return a copy with integer aux tags appended. Width chosen like
+        htslib (u8 / i32) so HP is 'C' (u8-sized values) and PS is 'i'."""
+        extra = bytearray()
+        for tag, value in tags:
+            if 0 <= value <= 0xFF:
+                extra += tag.encode() + b"C" + struct.pack("<B", value)
+            else:
+                extra += tag.encode() + b"i" + struct.pack("<i", value)
+        return BamRecord.parse(self.raw + bytes(extra))
+
+
+@dataclass
+class SamHeader:
+    text: str
+    ref_names: list[str]
+    ref_lengths: list[int]
+
+    def read_groups(self) -> list[dict[str, str]]:
+        """Parse @RG lines into dicts (for RG→SM sample matching,
+        ref: block_gen.rs:44-89)."""
+        out = []
+        for line in self.text.splitlines():
+            if line.startswith("@RG"):
+                d = {}
+                for fieldstr in line.split("\t")[1:]:
+                    if ":" in fieldstr:
+                        k, v = fieldstr.split(":", 1)
+                        d[k] = v
+                out.append(d)
+        return out
+
+    def samples(self) -> set[str]:
+        return {rg["SM"] for rg in self.read_groups() if "SM" in rg}
+
+    def with_pg_line(self, pg_id: str, pn: str, version: str, cl: str) -> "SamHeader":
+        """Append a @PG record (ref: ordered_bam_writer.rs:63-72)."""
+        text = self.text
+        if text and not text.endswith("\n"):
+            text += "\n"
+        text += f"@PG\tID:{pg_id}\tPN:{pn}\tVN:{version}\tCL:{cl}\n"
+        return SamHeader(text, self.ref_names, self.ref_lengths)
+
+
+class BamReader:
+    """Indexed BAM reader. ``fetch(chrom, start, end)`` uses the BAI index
+    when present; falls back to a full scan for index-less small files."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._bgzf = BgzfReader(path)
+        magic = self._bgzf.read(4)
+        if magic != BAM_MAGIC:
+            raise BamError(f"{path}: not a BAM file")
+        l_text = struct.unpack("<i", self._bgzf.read(4))[0]
+        text = self._bgzf.read(l_text).split(b"\x00")[0].decode()
+        n_ref = struct.unpack("<i", self._bgzf.read(4))[0]
+        names, lengths = [], []
+        for _ in range(n_ref):
+            l_name = struct.unpack("<i", self._bgzf.read(4))[0]
+            names.append(self._bgzf.read(l_name)[:-1].decode())
+            lengths.append(struct.unpack("<i", self._bgzf.read(4))[0])
+        self.header = SamHeader(text, names, lengths)
+        self._body_voffset = self._bgzf.virtual_offset
+        self._index: BaiIndex | None = None
+        try:
+            self._index = BaiIndex.load(path + ".bai")
+        except OSError:
+            pass
+
+    def close(self):
+        self._bgzf.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def tid(self, chrom: str) -> int:
+        try:
+            return self.header.ref_names.index(chrom)
+        except ValueError:
+            return -1
+
+    def _read_record(self) -> BamRecord | None:
+        szb = self._bgzf.read(4)
+        if len(szb) < 4:
+            return None
+        size = struct.unpack("<i", szb)[0]
+        raw = self._bgzf.read(size)
+        if len(raw) < size:
+            raise BamError("truncated BAM record")
+        return BamRecord.parse(raw)
+
+    def __iter__(self):
+        self._bgzf.seek_virtual(self._body_voffset)
+        while True:
+            rec = self._read_record()
+            if rec is None:
+                return
+            yield rec
+
+    def fetch(self, chrom: str, start: int, end: int):
+        """Yield records overlapping [start, end) on chrom, in file order."""
+        tid = self.tid(chrom)
+        if tid < 0:
+            return
+        if self._index is not None:
+            chunks = self._index.query(tid, start, end)
+            for cbeg, cend in chunks:
+                self._bgzf.seek_virtual(cbeg)
+                while self._bgzf.virtual_offset < cend:
+                    rec = self._read_record()
+                    if rec is None:
+                        break
+                    if rec.refid != tid or rec.pos >= end:
+                        break
+                    if not rec.is_unmapped and rec.reference_end() > start:
+                        yield rec
+        else:
+            for rec in self:
+                if rec.refid == tid and not rec.is_unmapped \
+                        and rec.pos < end and rec.reference_end() > start:
+                    yield rec
+
+    def fetch_unmapped(self):
+        """Yield fully unplaced records (refid < 0) at the file tail."""
+        for rec in self:
+            if rec.refid < 0:
+                yield rec
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """BAI bin for a [beg, end) interval (spec §5.3)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def reg2bins(beg: int, end: int) -> list[int]:
+    """All bins overlapping [beg, end) (spec §5.3)."""
+    bins = [0]
+    end -= 1
+    for shift, offset in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(offset + (beg >> shift), offset + (end >> shift) + 1))
+    return bins
+
+
+class BaiIndex:
+    """BAI index: bins→chunks plus a 16kb linear index per reference."""
+
+    def __init__(self, bins: list[dict[int, list[tuple[int, int]]]],
+                 linear: list[list[int]],
+                 n_no_coor: int = 0):
+        self.bins = bins
+        self.linear = linear
+        self.n_no_coor = n_no_coor
+
+    @classmethod
+    def load(cls, path: str) -> "BaiIndex":
+        with open(path, "rb") as fh:
+            data = fh.read()
+        if data[:4] != BAI_MAGIC:
+            raise BamError(f"{path}: not a BAI index")
+        off = 4
+        n_ref = struct.unpack_from("<i", data, off)[0]
+        off += 4
+        bins_per_ref = []
+        linear_per_ref = []
+        for _ in range(n_ref):
+            n_bin = struct.unpack_from("<i", data, off)[0]
+            off += 4
+            bins: dict[int, list[tuple[int, int]]] = {}
+            for _ in range(n_bin):
+                bin_id, n_chunk = struct.unpack_from("<Ii", data, off)
+                off += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    cb, ce = struct.unpack_from("<QQ", data, off)
+                    off += 16
+                    chunks.append((cb, ce))
+                bins[bin_id] = chunks
+            n_intv = struct.unpack_from("<i", data, off)[0]
+            off += 4
+            linear = list(struct.unpack_from(f"<{n_intv}Q", data, off))
+            off += 8 * n_intv
+            bins_per_ref.append(bins)
+            linear_per_ref.append(linear)
+        n_no_coor = struct.unpack_from("<Q", data, off)[0] if off + 8 <= len(data) else 0
+        return cls(bins_per_ref, linear_per_ref, n_no_coor)
+
+    def query(self, tid: int, start: int, end: int) -> list[tuple[int, int]]:
+        """Merged chunk list for records possibly overlapping [start, end)."""
+        if tid >= len(self.bins):
+            return []
+        bins = self.bins[tid]
+        linear = self.linear[tid]
+        min_off = 0
+        if linear:
+            w = min(start >> _LINEAR_SHIFT, len(linear) - 1)
+            min_off = linear[w]
+        chunks = []
+        for b in reg2bins(start, end):
+            if b == _PSEUDO_BIN:
+                continue
+            for cb, ce in bins.get(b, ()):
+                if ce > min_off:
+                    chunks.append((max(cb, min_off), ce))
+        chunks.sort()
+        merged: list[tuple[int, int]] = []
+        for cb, ce in chunks:
+            if merged and cb <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], ce))
+            else:
+                merged.append((cb, ce))
+        return merged
+
+    def save(self, path: str) -> None:
+        out = bytearray(BAI_MAGIC)
+        out += struct.pack("<i", len(self.bins))
+        for bins, linear in zip(self.bins, self.linear):
+            out += struct.pack("<i", len(bins))
+            for bin_id in sorted(bins):
+                chunks = bins[bin_id]
+                out += struct.pack("<Ii", bin_id, len(chunks))
+                for cb, ce in chunks:
+                    out += struct.pack("<QQ", cb, ce)
+            out += struct.pack("<i", len(linear))
+            out += struct.pack(f"<{len(linear)}Q", *linear)
+        out += struct.pack("<Q", self.n_no_coor)
+        with open(path, "wb") as fh:
+            fh.write(out)
+
+
+class BaiBuilder:
+    """Accumulates (tid, beg, end, voffset_start, voffset_end) per written
+    record and emits a BAI (the analog of hts_idx_push + sam_idx_save)."""
+
+    def __init__(self, n_ref: int):
+        self.bins: list[dict[int, list[tuple[int, int]]]] = [dict() for _ in range(n_ref)]
+        self.linear: list[list[int]] = [[] for _ in range(n_ref)]
+        self.stats = [[0, 0, (1 << 64) - 1, 0] for _ in range(n_ref)]  # mapped, unmapped, off_beg, off_end
+        self.n_no_coor = 0
+
+    def add(self, tid: int, beg: int, end: int, vbeg: int, vend: int,
+            mapped: bool = True) -> None:
+        if tid < 0:
+            self.n_no_coor += 1
+            return
+        b = reg2bin(beg, max(end, beg + 1))
+        chunks = self.bins[tid].setdefault(b, [])
+        if chunks and chunks[-1][1] == vbeg:
+            chunks[-1] = (chunks[-1][0], vend)
+        else:
+            chunks.append((vbeg, vend))
+        lin = self.linear[tid]
+        wbeg = beg >> _LINEAR_SHIFT
+        wend = (max(end, beg + 1) - 1) >> _LINEAR_SHIFT
+        while len(lin) <= wend:
+            lin.append(0)
+        for w in range(wbeg, wend + 1):
+            if lin[w] == 0 or vbeg < lin[w]:
+                lin[w] = vbeg
+        st = self.stats[tid]
+        st[0 if mapped else 1] += 1
+        st[2] = min(st[2], vbeg)
+        st[3] = max(st[3], vend)
+
+    def build(self) -> BaiIndex:
+        # backfill linear-index zeros with the next nonzero offset (htslib style)
+        bins = []
+        for tid, b in enumerate(self.bins):
+            b = dict(b)
+            st = self.stats[tid]
+            if st[0] + st[1] > 0:
+                b[_PSEUDO_BIN] = [(st[2], st[3]), (st[0], st[1])]
+            bins.append(b)
+            lin = self.linear[tid]
+            last = 0
+            for i in range(len(lin)):
+                if lin[i] == 0:
+                    lin[i] = last
+                else:
+                    last = lin[i]
+        return BaiIndex(bins, self.linear, self.n_no_coor)
+
+
+class BamWriter:
+    """BGZF BAM writer that simultaneously builds the BAI index."""
+
+    def __init__(self, path: str, header: SamHeader, level: int = 6):
+        self.path = path
+        self.header = header
+        self._bgzf = BgzfWriter(path, level=level)
+        text = header.text.encode()
+        buf = bytearray(BAM_MAGIC)
+        buf += struct.pack("<i", len(text)) + text
+        buf += struct.pack("<i", len(header.ref_names))
+        for name, length in zip(header.ref_names, header.ref_lengths):
+            nb = name.encode() + b"\x00"
+            buf += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+        self._bgzf.write(bytes(buf))
+        self._bai = BaiBuilder(len(header.ref_names))
+        self._closed = False
+
+    def write(self, rec: BamRecord) -> None:
+        vbeg = self._bgzf.virtual_offset
+        self._bgzf.write(struct.pack("<i", len(rec.raw)) + rec.raw)
+        vend = self._bgzf.virtual_offset
+        end = rec.reference_end() if not rec.is_unmapped else rec.pos + 1
+        self._bai.add(rec.refid, rec.pos, end, vbeg, vend,
+                      mapped=not rec.is_unmapped)
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._bgzf.close()
+        self._closed = True
+
+    def write_index(self) -> None:
+        assert self._closed, "close the BAM before writing its index"
+        self._bai.build().save(self.path + ".bai")
