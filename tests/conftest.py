@@ -1,13 +1,15 @@
 """Test config: force an 8-device virtual CPU mesh so sharding tests run
-without TPU hardware (bench.py uses the real chip instead)."""
+without TPU hardware (bench.py uses the real chip instead).
 
-import os
+NOTE: this environment pins JAX_PLATFORMS=axon (tunneled TPU) and a
+sitecustomize that registers the axon PJRT plugin in every interpreter, so
+env vars alone cannot force CPU — use jax.config before any backend use.
+"""
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pathlib
 
