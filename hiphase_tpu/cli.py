@@ -1,0 +1,348 @@
+"""CLI and orchestration (ref: src/cli.rs, src/main.rs).
+
+Flag surface and defaults mirror the reference. The orchestrator pulls phase
+blocks from the streaming iterator, solves them (host A* oracle or the TPU
+beam engine; ``--engine tpu`` batches blocks onto the device), and feeds
+results in block-index order into the ordered writers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+from hiphase_tpu.version import full_version
+
+logger = logging.getLogger("hiphase_tpu")
+
+U64_MAX = 2**63 - 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """Flag surface (ref: cli.rs:28-239)."""
+    p = argparse.ArgumentParser(
+        prog="hiphase-tpu",
+        description="TPU-native joint phaser for small, structural, and "
+                    "tandem-repeat variants from HiFi BAMs")
+    p.add_argument("--version", action="version", version=full_version())
+    p.add_argument("-v", "--verbose", action="count", default=0,
+                   help="Enable verbose output (-vv for trace)")
+
+    io = p.add_argument_group("Input/Output")
+    io.add_argument("--bam", dest="bams", action="append", default=[],
+                    required=True, help="Input alignment file (indexed BAM)")
+    io.add_argument("--output-bam", dest="output_bams", action="append",
+                    default=[], help="Output haplotagged alignment file")
+    io.add_argument("--vcf", dest="vcfs", action="append", default=[],
+                    required=True, help="Input variant file (indexed vcf.gz)")
+    io.add_argument("--output-vcf", dest="output_vcfs", action="append",
+                    default=[], required=True, help="Output phased variant file")
+    io.add_argument("-r", "--reference", required=True,
+                    help="Reference FASTA file")
+    io.add_argument("-s", "--sample-name", dest="sample_names",
+                    action="append", default=[],
+                    help="Sample name to phase (default: first in VCF)")
+    io.add_argument("--ignore-read-groups", action="store_true",
+                    help="Ignore BAM read groups (single sample only)")
+    io.add_argument("--summary-file", help="Summary statistics output (tsv/csv)")
+    io.add_argument("--stats-file", help="Algorithm statistics output (tsv/csv)")
+    io.add_argument("--blocks-file", help="Phase block output (tsv/csv)")
+    io.add_argument("--haplotag-file", help="Haplotag output (tsv/csv)")
+    io.add_argument("--io-threads", type=int, default=None,
+                    help="I/O threads (default: min(threads, 4))")
+    io.add_argument("--csi-index", action="store_true",
+                    help="Use CSI indexes for outputs")
+
+    p.add_argument("-t", "--threads", type=int, default=1,
+                   help="Number of host threads")
+    p.add_argument("--engine", choices=["astar", "tpu"], default="astar",
+                   help="Phasing engine: host A* oracle or the batched TPU "
+                        "beam engine")
+    p.add_argument("--beam-width", type=int, default=256,
+                   help="TPU engine beam width")
+
+    filt = p.add_argument_group("Variant Filtering")
+    filt.add_argument("--min-vcf-qual", dest="min_variant_quality", type=int,
+                      default=0, help="Minimum GQ to include a variant")
+    filt.add_argument("--min-mapq", dest="min_mapping_quality", type=int,
+                      default=5, help="Minimum MAPQ to include a read")
+    filt.add_argument("--min-matched-alleles", type=int, default=2,
+                      help="Minimum matched alleles for a phasing read")
+
+    bg = p.add_argument_group("Phase Block Generation")
+    bg.add_argument("--min-spanning-reads", type=int, default=1,
+                    help="Minimum reads to span two loci to join them")
+    bg.add_argument("--no-supplemental-joins", dest="disable_supplemental_joins",
+                    action="store_true",
+                    help="Disable supplemental-mapping block joins")
+    bg.add_argument("--phase-singletons", action="store_true",
+                    help="Phase blocks with a single variant")
+
+    aa = p.add_argument_group("Allele Assignment")
+    aa.add_argument("--max-reference-buffer", dest="reference_buffer",
+                    type=int, default=15,
+                    help="Reference context around alleles (bp)")
+    aa.add_argument("--disable-global-realignment", action="store_true",
+                    help="Local realignment only")
+    aa.add_argument("--global-realignment-max-ed", dest="max_edit_distance",
+                    type=int, default=500,
+                    help="Max edit distance before local fallback")
+    aa.add_argument("--global-pruning-distance", dest="wfa_prune_distance",
+                    type=int, default=500,
+                    help="WFA wavefront prune distance (0 = off)")
+    aa.add_argument("--max-global-failure-ratio", dest="global_failure_ratio",
+                    type=float, default=0.5,
+                    help="Failure ratio before block-level local fallback")
+    aa.add_argument("--global-failure-count", dest="global_failure_minimum",
+                    type=int, default=50,
+                    help="Minimum failures before the ratio applies")
+
+    ph = p.add_argument_group("Phasing")
+    ph.add_argument("--phase-min-queue-size", dest="phase_min_queue_size",
+                    type=int, default=1000, help="Minimum queue/beam size")
+    ph.add_argument("--phase-queue-increment", dest="phase_queue_increment",
+                    type=int, default=3,
+                    help="Queue growth per variant")
+
+    dbg = p.add_argument_group("Debug")
+    dbg.add_argument("--skip", type=int, default=0, help=argparse.SUPPRESS)
+    dbg.add_argument("--take", type=int, default=0, help=argparse.SUPPRESS)
+    return p
+
+
+def check_settings(args) -> None:
+    """Validation + sentinel rewrites (ref: cli.rs:324-420)."""
+    from hiphase_tpu.io.bgzf import is_bgzf
+
+    for path in args.bams + args.vcfs + [args.reference]:
+        if not os.path.exists(path):
+            raise SystemExit(f"File does not exist: {path}")
+    for vcf in args.vcfs:
+        if not is_bgzf(vcf):
+            raise SystemExit(f"VCF file is not bgzip-compressed: {vcf}")
+        if not (os.path.exists(vcf + ".tbi") or os.path.exists(vcf + ".csi")):
+            raise SystemExit(f"VCF index not found for: {vcf}")
+    for bam in args.bams:
+        if not os.path.exists(bam + ".bai"):
+            raise SystemExit(f"BAM index not found for: {bam}")
+
+    if len(args.vcfs) != len(args.output_vcfs):
+        raise SystemExit("--vcf and --output-vcf must be specified the same "
+                         "number of times")
+    if args.output_bams and len(args.bams) != len(args.output_bams):
+        raise SystemExit("--bam and --output-bam must be specified the same "
+                         "number of times")
+
+    # sentinel rewrites (ref: cli.rs:349-354)
+    if args.take == 0:
+        args.take = U64_MAX
+    if args.wfa_prune_distance == 0:
+        args.wfa_prune_distance = U64_MAX
+    args.min_spanning_reads = max(args.min_spanning_reads, 1)
+    args.min_matched_alleles = max(args.min_matched_alleles, 1)
+    if args.io_threads is None:
+        args.io_threads = min(args.threads, 4)
+
+
+def global_realignment_config(args):
+    """(ref: cli.rs:302-313)"""
+    if args.disable_global_realignment:
+        return None
+    from hiphase_tpu.phasing.read_parsing import GlobalRealignmentConfig
+    return GlobalRealignmentConfig(
+        max_edit_distance=args.max_edit_distance,
+        wfa_prune_distance=args.wfa_prune_distance,
+        global_failure_ratio=args.global_failure_ratio,
+        global_failure_minimum=args.global_failure_minimum)
+
+
+def main(argv=None) -> int:
+    try:
+        return _main(argv)
+    except SystemExit:
+        raise
+    except Exception as e:
+        # fail fast with a clean message, like the reference's error!+exit
+        logger.error("%s", e)
+        if os.environ.get("HIPHASE_TPU_TRACEBACK"):
+            raise
+        return 1
+
+
+def _main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    level = (logging.DEBUG if args.verbose >= 1 else logging.INFO)
+    logging.basicConfig(
+        level=level,
+        format="[%(asctime)s.%(msecs)03d %(levelname)s %(name)s] %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S")
+    logger.info("hiphase-tpu version %s", full_version())
+    check_settings(args)
+
+    from hiphase_tpu.core.reference_genome import ReferenceGenome
+    from hiphase_tpu.io.vcf import get_vcf_samples
+    from hiphase_tpu.phasing.block_gen import (
+        MultiPhaseBlockIterator, PhaseBlockIterator, get_sample_bams)
+    from hiphase_tpu.phasing.phaser import create_unphased_result, solve_block
+    from hiphase_tpu.writers.bam_writer import OrderedBamWriter
+    from hiphase_tpu.writers.block_stats import BlockStatsCollector
+    from hiphase_tpu.writers.haplotag_writer import HaplotagWriter
+    from hiphase_tpu.writers.phase_stats import StatsWriter
+    from hiphase_tpu.writers.vcf_writer import OrderedVcfWriter
+
+    command_line = " ".join(sys.argv if argv is None else ["hiphase-tpu"] + list(argv))
+
+    sample_names = list(args.sample_names)
+    if not sample_names:
+        all_names = get_vcf_samples(args.vcfs[0])
+        if len(all_names) > 1:
+            logger.warning("Multi-sample VCF detected, but sample name was "
+                           "not provided. Assuming name is %r.", all_names[0])
+        sample_names.append(all_names[0])
+    if args.ignore_read_groups and len(sample_names) > 1:
+        raise SystemExit("--ignore-read-groups cannot be used with multiple "
+                         "sample names")
+
+    # per-sample BAM assignment + block iterators (ref: main.rs:77-141)
+    sample_to_bams: dict[str, list[str]] = {}
+    sample_to_output_bams: dict[str, list[str]] = {}
+    block_iterators = []
+    for sample_name in sample_names:
+        if args.ignore_read_groups:
+            sample_bams = list(args.bams)
+            bam_indices = list(range(len(args.bams)))
+        else:
+            sample_bams = get_sample_bams(args.bams, sample_name)
+            bam_indices = [args.bams.index(b) for b in sample_bams]
+        sample_to_bams[sample_name] = sample_bams
+        if args.output_bams:
+            sample_to_output_bams[sample_name] = [
+                args.output_bams[i] for i in bam_indices]
+        block_iterators.append(PhaseBlockIterator(
+            args.vcfs, sample_bams, sample_name,
+            min_quality=args.min_variant_quality,
+            min_mapq=args.min_mapping_quality,
+            min_spanning_reads=args.min_spanning_reads,
+            allow_supplemental_joins=not args.disable_supplemental_joins))
+    block_iterator = MultiPhaseBlockIterator(block_iterators)
+
+    # writers (ref: main.rs:153-234)
+    vcf_writer = OrderedVcfWriter(
+        args.vcfs, args.output_vcfs, args.min_variant_quality, sample_names,
+        program_version=full_version(), command_line=command_line,
+        csi=args.csi_index)
+    bam_writers: dict[str, OrderedBamWriter] = {}
+    if args.output_bams:
+        for sample_name in sample_names:
+            bam_writers[sample_name] = OrderedBamWriter(
+                sample_name, sample_to_bams[sample_name],
+                sample_to_output_bams[sample_name],
+                program_version=full_version(), command_line=command_line)
+    stats_writer = StatsWriter(args.stats_file) if args.stats_file else None
+    haplotag_writer = HaplotagWriter(args.haplotag_file) if args.haplotag_file else None
+    block_collector = BlockStatsCollector()
+
+    logger.info("Loading reference genome...")
+    reference_genome = ReferenceGenome.from_fasta(args.reference)
+
+    max_chrom_len = max((reference_genome.contig_length(c)
+                         for c in reference_genome.contig_keys()), default=0)
+    if max_chrom_len >= 2**29 - 1 and not args.csi_index:
+        raise SystemExit("Output files will require .csi indexing; use "
+                         "--csi-index to enable")
+
+    global_config = global_realignment_config(args)
+    debug_run = args.skip > 0 or args.take != U64_MAX
+
+    def process_results(phase_result, haplotag_result):
+        if stats_writer is not None:
+            stats_writer.write_stats(phase_result)
+        block_collector.add_result(phase_result)
+        for sub_block in phase_result.sub_phase_blocks:
+            block_collector.add_block(sub_block)
+        if haplotag_writer is not None:
+            haplotag_writer.write_block(haplotag_result)
+        vcf_writer.write_phase_block(phase_result)
+        this_sample = phase_result.phase_block.sample_name
+        for sample_name, writer in bam_writers.items():
+            if sample_name == this_sample:
+                writer.write_phase_block(haplotag_result)
+            else:
+                writer.write_dummy_block(phase_result.phase_block.block_index)
+
+    start_time = time.time()
+    results_received = 0
+    total_variants = 0
+    logger.info("Phase block generation starting...")
+
+    solver = "astar" if args.engine == "astar" else "beam-full"
+    for i, block in enumerate(block_iterator):
+        if i < args.skip:
+            continue
+        if i >= args.skip + args.take:
+            break
+        sample_bams = sample_to_bams[block.sample_name]
+        if not block.unphased_block and (args.phase_singletons
+                                         or block.num_variants > 1):
+            phase_result, haplotag_result = solve_block(
+                block, args.vcfs, sample_bams, reference_genome,
+                reference_buffer=args.reference_buffer,
+                min_matched_alleles=args.min_matched_alleles,
+                min_mapq=args.min_mapping_quality,
+                min_queue_size=args.phase_min_queue_size,
+                queue_increment=args.phase_queue_increment,
+                global_config=global_config,
+                solver=solver)
+        else:
+            phase_result, haplotag_result = create_unphased_result(block)
+
+        total_variants += phase_result.phase_block.num_variants
+        results_received += 1
+        process_results(phase_result, haplotag_result)
+        if results_received % 100 == 0:
+            elapsed = time.time() - start_time
+            logger.info("Received results for %d phase blocks: %.4f "
+                        "blocks/sec, %.4f hets/sec, writer waiting on "
+                        "block %d", results_received,
+                        results_received / elapsed, total_variants / elapsed,
+                        vcf_writer.get_wait_block())
+
+    # finalization (ref: main.rs:464-570)
+    if not debug_run:
+        vcf_writer.write_to_end_position()
+        vcf_writer.close()
+        vcf_writer.write_indexes()
+        for writer in bam_writers.values():
+            writer.finalize_chromosome()
+            writer.copy_remaining_chromosomes()
+            writer.close()
+            writer.write_indexes()
+        if args.blocks_file:
+            block_collector.write_blocks(args.blocks_file)
+        if args.summary_file:
+            block_collector.write_block_stats(
+                sample_names, args.summary_file, reference_genome,
+                block_iterator.variant_stats())
+    else:
+        logger.warning("Debug run (--skip/--take): output files are not "
+                       "finalized")
+        vcf_writer.close()
+        for writer in bam_writers.values():
+            writer.close()
+
+    if stats_writer is not None:
+        stats_writer.close()
+    if haplotag_writer is not None:
+        haplotag_writer.close()
+
+    elapsed = time.time() - start_time
+    logger.info("Phasing complete: %d blocks, %d variants in %.2fs",
+                results_received, total_variants, elapsed)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -359,6 +359,8 @@ def reg2bin(beg: int, end: int) -> int:
 def reg2bins(beg: int, end: int) -> list[int]:
     """All bins overlapping [beg, end) (spec §5.3)."""
     bins = [0]
+    end = min(end, 1 << 29)
+    beg = min(beg, (1 << 29) - 1)
     end -= 1
     for shift, offset in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
         bins.extend(range(offset + (beg >> shift), offset + (end >> shift) + 1))

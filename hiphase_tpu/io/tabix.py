@@ -29,6 +29,9 @@ def _reg2bin(beg: int, end: int, min_shift: int = 14, depth: int = 5) -> int:
 
 def _reg2bins(beg: int, end: int, min_shift: int = 14, depth: int = 5) -> list[int]:
     bins = []
+    max_span = 1 << (min_shift + 3 * depth)
+    end = min(end, max_span)
+    beg = min(beg, max_span - 1)
     end -= 1
     for level in range(depth + 1):
         s = min_shift + 3 * (depth - level)

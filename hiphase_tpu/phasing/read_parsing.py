@@ -1,0 +1,301 @@
+"""Read→allele conversion (ref: src/read_parsing.rs).
+
+Local realignment mode: per variant, excise the read subsequence between the
+nearest aligned anchors around the (reference-context-extended) allele window
+and match it exactly, then by edit distance. Qualities are per-type baselines
+scaled by the harmonic mean of base qualities (capped at 40).
+
+Global realignment (graph-WFA) lives in `hiphase_tpu.align.wfa_graph` and is
+wired through ``load_full_read_segments`` with the deterministic
+failure-ratio fallback ladder.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from hiphase_tpu.core.read_segments import ReadSegment, collapse_read_segments
+from hiphase_tpu.core.variants import AlleleType, Variant, VariantType
+from hiphase_tpu.io.bam import BamReader, BamRecord
+from hiphase_tpu.phasing.block_gen import PhaseBlock, filter_out_alignment_record
+from hiphase_tpu.writers.phase_stats import ReadStats
+
+logger = logging.getLogger(__name__)
+
+# Baseline quality values (ref: read_parsing.rs:18-22). Global realignment
+# assigns exactly 2× these; local scales by harmonic-mean base quality.
+SNV_QUAL = 80
+TR_QUAL = 40
+SV_INDEL_QUAL = 20
+INDEL_QUAL = 10
+MISSING_QUAL = 0
+
+_BASELINE = {
+    VariantType.SNV: SNV_QUAL,
+    VariantType.DELETION: INDEL_QUAL,
+    VariantType.INSERTION: INDEL_QUAL,
+    VariantType.INDEL: INDEL_QUAL,
+    VariantType.SV_DELETION: SV_INDEL_QUAL,
+    VariantType.SV_INSERTION: SV_INDEL_QUAL,
+    VariantType.TANDEM_REPEAT: TR_QUAL,
+}
+
+REF = int(AlleleType.REFERENCE)
+ALT = int(AlleleType.ALTERNATE)
+AMB = int(AlleleType.AMBIGUOUS)
+NOV = int(AlleleType.NO_OVERLAP)
+
+
+class GlobalRealignmentConfig:
+    """(ref: read_parsing.rs:25-34)"""
+
+    def __init__(self, max_edit_distance: int = 500,
+                 wfa_prune_distance: int = 500,
+                 global_failure_ratio: float = 0.5,
+                 global_failure_minimum: int = 50):
+        self.max_edit_distance = max_edit_distance
+        self.wfa_prune_distance = wfa_prune_distance
+        self.global_failure_ratio = global_failure_ratio
+        self.global_failure_minimum = global_failure_minimum
+
+
+def local_realignment(read: BamRecord, variant_calls: list[Variant]
+                      ) -> tuple[np.ndarray, np.ndarray, ReadStats]:
+    """Assign an allele + qual per variant for one read
+    (ref: read_parsing.rs:121-503)."""
+    num_variants = len(variant_calls)
+    stats = ReadStats()
+
+    # ref coordinate -> read coordinate for aligned (M/=/X) bases
+    coordinate_lookup: dict[int, int] = {}
+    min_position = read.pos
+    max_position = read.pos
+    for qpos, rpos in read.aligned_pairs():
+        coordinate_lookup[rpos] = qpos
+        if rpos > max_position:
+            max_position = rpos
+    aligned_end = max_position + 1  # aligned range is [min_position, aligned_end)
+
+    read_sequence = read.query_sequence()
+    read_qualities = read.query_qualities()
+
+    alleles = np.full(num_variants, NOV, dtype=np.uint8)
+    quals = np.zeros(num_variants, dtype=np.uint8)
+    num_overlaps = 0
+    last_deletion_end = 0
+
+    for vi, variant in enumerate(variant_calls):
+        variant_pos = variant.position
+        vt = variant.variant_type
+        vt_index = int(vt)
+
+        allele = NOV
+        qual = MISSING_QUAL
+        exact_allele = False
+        overlaps_allele = False
+
+        if variant.is_ignored:
+            pass  # stays NoOverlap/0 (ref: read_parsing.rs:180-186)
+        elif variant_pos < last_deletion_end:
+            # inside a detected SV deletion: suppressed (ref: :187-194)
+            allele = AMB
+            overlaps_allele = True
+        elif vt == VariantType.SV_DELETION:
+            allele, qual, exact_allele, overlaps_allele, last_deletion_end = \
+                _sv_deletion_allele(variant, coordinate_lookup, min_position,
+                                    aligned_end, last_deletion_end)
+        else:
+            allele, qual, exact_allele, overlaps_allele = _window_allele(
+                variant, coordinate_lookup, min_position, aligned_end,
+                read_sequence, read_qualities)
+
+        if overlaps_allele:
+            assert allele <= AMB
+            if allele == AMB:
+                stats.failed_matches[vt_index] += 1
+            else:
+                if exact_allele:
+                    stats.exact_matches[vt_index] += 1
+                else:
+                    stats.inexact_matches[vt_index] += 1
+                if allele == REF:
+                    stats.allele0_matches[vt_index] += 1
+                else:
+                    stats.allele1_matches[vt_index] += 1
+                num_overlaps += 1
+                stats.num_alleles += 1
+        else:
+            assert allele == NOV
+
+        alleles[vi] = allele
+        quals[vi] = qual
+
+    stats.skipped_reads = 1 if num_overlaps == 0 else 0
+    stats.local_aligned = 1 - stats.skipped_reads
+    return alleles, quals, stats
+
+
+def _window_allele(variant: Variant, coordinate_lookup: dict[int, int],
+                   aligned_start: int, aligned_end: int,
+                   read_sequence: bytes, read_qualities: bytes):
+    """Anchor-window excision + exact/inexact matching for non-SV-DEL types
+    (ref: read_parsing.rs:196-353)."""
+    variant_pos = variant.position
+    ref_allele_len = variant.ref_len
+    prefix_len = variant.prefix_len
+    postfix_len = variant.postfix_len
+
+    first_start = variant_pos - prefix_len
+    last_start = variant_pos + 1       # exclusive bound includes variant_pos
+    first_end = variant_pos + ref_allele_len
+    last_end = first_end + postfix_len + 1
+
+    closest_start = None
+    for sc in range(last_start - 1, first_start - 1, -1):
+        si = coordinate_lookup.get(sc)
+        if si is not None:
+            closest_start = si
+            break
+    closest_end = None
+    for ec in range(first_end, last_end):
+        ei = coordinate_lookup.get(ec)
+        if ei is not None:
+            closest_end = ei
+            break
+
+    start_coordinate = None
+    start_clip = 0
+    end_coordinate = None
+    end_clip = 0
+    if closest_start is not None and closest_end is not None:
+        for sc in range(first_start, last_start):
+            start_clip += 1
+            si = coordinate_lookup.get(sc)
+            if si is None:
+                continue
+            # outlier guard: displaced anchors (ref: :245-247)
+            if closest_start - si > 2 * prefix_len:
+                continue
+            start_coordinate = si
+            for ec in range(last_end - 1, first_end - 1, -1):
+                end_clip += 1
+                ei = coordinate_lookup.get(ec)
+                if ei is None:
+                    continue
+                if ei - closest_end > 2 * postfix_len:
+                    continue
+                end_coordinate = ei
+                break
+            break
+
+    if start_coordinate is not None and end_coordinate is not None:
+        ss, se = start_coordinate, end_coordinate
+        obs = read_sequence[ss:se]
+        allele = variant.match_allele(obs)
+        if allele == AMB:
+            allele_t, _ed, _other = variant.closest_allele_clip(
+                obs, start_clip - 1, end_clip - 1)
+            allele = int(allele_t)
+            exact_allele = False
+        else:
+            exact_allele = True
+        # harmonic-mean base-quality scaling capped at 40 (ref: :290-327)
+        qs = read_qualities[ss:se]
+        if len(qs) == 0:
+            qual_factor = 1.0  # matches Rust NaN.min(1.0) == 1.0
+        else:
+            denom = sum(1.0 / q if q > 0 else float("inf") for q in qs)
+            harmonic = len(qs) / denom if denom > 0 else 0.0
+            qual_factor = min(harmonic / 40.0, 1.0)
+        baseline = _BASELINE[variant.variant_type]
+        qual = int(max(baseline * qual_factor, 1.0))
+        return allele, qual, exact_allele, True
+
+    if aligned_start <= variant_pos < aligned_end:
+        return AMB, MISSING_QUAL, False, True
+    return NOV, MISSING_QUAL, False, False
+
+
+def _sv_deletion_allele(variant: Variant, coordinate_lookup: dict[int, int],
+                        aligned_start: int, aligned_end: int,
+                        last_deletion_end: int):
+    """Whole-variant deleted-base counting for SV deletions
+    (ref: read_parsing.rs:354-451)."""
+    variant_pos = variant.position
+    ref_allele_len = variant.ref_len
+    if not (aligned_start <= variant_pos < aligned_end):
+        return NOV, MISSING_QUAL, False, False, last_deletion_end
+
+    last_start = variant_pos + 1
+    first_end = variant_pos + ref_allele_len
+    if not (aligned_start <= first_end < aligned_end):
+        # partial overlap without reaching the far end
+        return AMB, MISSING_QUAL, False, True, last_deletion_end
+
+    expected_deleted = first_end - last_start
+    start_anchor = last_start
+    while start_anchor not in coordinate_lookup:
+        if start_anchor <= aligned_start:
+            logger.warning("Reached start of read without finding start_anchor"
+                           ", using POS (%d) instead.", start_anchor)
+            break
+        start_anchor -= 1
+    end_anchor = first_end
+    while end_anchor not in coordinate_lookup:
+        end_anchor += 1
+        if end_anchor >= aligned_end:
+            logger.warning("Reached end of read without finding end_anchor, "
+                           "using max (%d) found instead.", end_anchor)
+            break
+
+    deleted_count = sum(1 for dc in range(start_anchor, end_anchor)
+                        if dc not in coordinate_lookup)
+    match_window = 0.33
+    deleted_ratio = deleted_count / expected_deleted if expected_deleted else 0.0
+    if deleted_ratio < match_window:
+        qual = int(max(SV_INDEL_QUAL * (1.0 - deleted_ratio), 1.0))
+        return REF, qual, deleted_ratio == 0.0, True, last_deletion_end
+    if abs(1.0 - deleted_ratio) < match_window:
+        qual_frac = 1.0 - abs(1.0 - deleted_ratio)
+        qual = int(max(SV_INDEL_QUAL * qual_frac, 1.0))
+        # anything inside a detected deletion is suppressed downstream
+        return ALT, qual, deleted_ratio == 1.0, True, first_end
+    return AMB, MISSING_QUAL, False, True, last_deletion_end
+
+
+def load_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
+                       variant_calls: list[Variant],
+                       min_matched_alleles: int, min_mapq: int
+                       ) -> tuple[list[ReadSegment], list[ReadSegment], ReadStats]:
+    """Local-only loading path (ref: read_parsing.rs:48-114). Returns
+    (read_segments for phasing, phasable-but-thin segments, stats)."""
+    read_groups: dict[str, list[ReadSegment]] = {}
+    joint_stats = ReadStats()
+
+    for bam_path in bam_paths:
+        with BamReader(bam_path) as bam:
+            for read in bam.fetch(phase_problem.chrom, phase_problem.start,
+                                  phase_problem.end + 1):
+                if filter_out_alignment_record(read, min_mapq):
+                    continue
+                alleles, quals, read_stats = local_realignment(read, variant_calls)
+                if read_stats.skipped_reads == 0:
+                    read_groups.setdefault(read.read_name, []).append(
+                        ReadSegment.new(read.read_name, alleles, quals))
+                joint_stats += read_stats
+
+    read_segments: list[ReadSegment] = []
+    phasable_segments: list[ReadSegment] = []
+    for _name, group in read_groups.items():
+        collapsed = collapse_read_segments(group)
+        num_set = collapsed.get_num_set()
+        if num_set >= min_matched_alleles:
+            read_segments.append(collapsed)
+            joint_stats.num_reads += len(group)
+        else:
+            joint_stats.skipped_reads += len(group)
+            if num_set > 0:
+                phasable_segments.append(collapsed)
+    return read_segments, phasable_segments, joint_stats

@@ -1,0 +1,185 @@
+"""Synthetic dataset generator for end-to-end tests: builds a reference
+FASTA, a truth diplotype, a bgzipped+indexed VCF, and a coordinate-sorted
+indexed BAM of simulated HiFi-like reads."""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from hiphase_tpu.io.bam import CIGAR_OPS, SEQ_NT16, BamRecord, BamWriter, SamHeader, reg2bin
+from hiphase_tpu.io.vcf import VcfHeader, VcfRecord, VcfWriter
+
+BASES = b"ACGT"
+
+
+@dataclass
+class SimVariant:
+    pos: int            # 0-based
+    ref: bytes
+    alt: bytes
+    gt: tuple[int, int]  # truth genotype per haplotype (h1 allele, h2 allele)
+    gq: int = 60
+
+
+@dataclass
+class SimContig:
+    name: str
+    seq: bytes
+    variants: list[SimVariant] = field(default_factory=list)
+
+
+def make_bam_record(name: str, refid: int, pos: int, seq: bytes,
+                    cigar: list[tuple[str, int]], mapq: int = 60,
+                    flag: int = 0, quals: bytes | None = None,
+                    tags: bytes = b"") -> BamRecord:
+    nameb = name.encode() + b"\x00"
+    cig = b"".join(struct.pack("<I", (length << 4) | CIGAR_OPS.index(op))
+                   for op, length in cigar)
+    packed = bytearray((len(seq) + 1) // 2)
+    for i, base in enumerate(seq):
+        nib = SEQ_NT16.index(chr(base))
+        if i % 2 == 0:
+            packed[i // 2] |= nib << 4
+        else:
+            packed[i // 2] |= nib
+    q = quals if quals is not None else bytes([30] * len(seq))
+    raw = struct.pack("<iiBBHHHIiii", refid, pos, len(nameb), mapq,
+                      reg2bin(pos, pos + len(seq)), len(cigar), flag,
+                      len(seq), -1, -1, 0)
+    raw += nameb + cig + bytes(packed) + q + tags
+    return BamRecord.parse(raw)
+
+
+def simulate_contig(rng, name: str, length: int, het_snv_every: int = 120,
+                    hom_snv_every: int = 331) -> SimContig:
+    seq = rng.choice(np.frombuffer(BASES, dtype=np.uint8),
+                     size=length).astype(np.uint8).tobytes()
+    contig = SimContig(name, seq)
+    used = set()
+    for pos in range(60, length - 60, het_snv_every):
+        pos = int(pos + rng.integers(0, 30))
+        if pos in used:
+            continue
+        used.add(pos)
+        ref = seq[pos:pos + 1]
+        alt = bytes([rng.choice([b for b in BASES if b != ref[0]])])
+        # random truth phase orientation
+        gt = (0, 1) if rng.random() < 0.5 else (1, 0)
+        contig.variants.append(SimVariant(pos, ref, alt, gt))
+    for pos in range(97, length - 60, hom_snv_every):
+        if pos in used or (pos + 1) in used or (pos - 1) in used:
+            continue
+        used.add(pos)
+        ref = seq[pos:pos + 1]
+        alt = bytes([rng.choice([b for b in BASES if b != ref[0]])])
+        contig.variants.append(SimVariant(pos, ref, alt, (1, 1)))
+    contig.variants.sort(key=lambda v: v.pos)
+    return contig
+
+
+def hap_sequence(contig: SimContig, hap: int) -> bytes:
+    """Apply the truth alleles for one haplotype (SNV-only sim)."""
+    seq = bytearray(contig.seq)
+    for v in contig.variants:
+        allele = v.gt[hap]
+        if allele == 1:
+            assert len(v.ref) == 1 and len(v.alt) == 1
+            seq[v.pos] = v.alt[0]
+    return bytes(seq)
+
+
+def write_fasta(path: str, contigs: list[SimContig]) -> None:
+    with open(path, "w") as fh:
+        for c in contigs:
+            fh.write(f">{c.name}\n")
+            s = c.seq.decode()
+            for i in range(0, len(s), 60):
+                fh.write(s[i:i + 60] + "\n")
+
+
+def write_vcf(path: str, contigs: list[SimContig], sample: str = "SAMPLE",
+              extra_samples: list[str] | None = None) -> None:
+    samples = [sample] + (extra_samples or [])
+    lines = [b"##fileformat=VCFv4.2",
+             b'##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+             b'##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Quality">']
+    for c in contigs:
+        lines.append(f"##contig=<ID={c.name},length={len(c.seq)}>".encode())
+    cols = b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + \
+        "\t".join(samples).encode()
+    header = VcfHeader.parse(lines + [cols])
+    wr = VcfWriter(path, header)
+    for c in contigs:
+        for v in c.variants:
+            gt = f"{min(v.gt)}/{max(v.gt)}"
+            extra = "\t0/0:60" * len(extra_samples or [])
+            wr.write(VcfRecord.parse(
+                f"{c.name}\t{v.pos + 1}\t.\t{v.ref.decode()}\t"
+                f"{v.alt.decode()}\t60\tPASS\t.\tGT:GQ\t{gt}:{v.gq}"
+                f"{extra}".encode()))
+    wr.close()
+    wr.write_index()
+
+
+def simulate_reads(rng, contig: SimContig, refid: int, read_length: int = 2000,
+                   coverage: int = 20, rg_tag: bytes = b"") -> list[tuple]:
+    """Returns [(pos, BamRecord, truth_hap)] coordinate-sorted (SNV-only sim:
+    both haplotype sequences are reference-length, so CIGAR is all-M)."""
+    haps = [hap_sequence(contig, 0), hap_sequence(contig, 1)]
+    n_reads = max(1, coverage * len(contig.seq) // read_length)
+    out = []
+    for i in range(n_reads):
+        hap = int(rng.integers(0, 2))
+        # sample virtual starts beyond the edges and clamp, so coverage is
+        # uniform across the whole contig (edge reads are just shorter)
+        vpos = int(rng.integers(-read_length + 200,
+                                len(contig.seq) - 200))
+        pos = max(0, vpos)
+        end = min(len(contig.seq), vpos + read_length)
+        seq = haps[hap][pos:end]
+        rec = make_bam_record(f"{contig.name}_read{i}", refid, pos, seq,
+                              [("M", len(seq))], tags=rg_tag)
+        out.append((pos, rec, hap))
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def write_bam(path: str, contigs: list[SimContig], reads_per_contig,
+              sample: str = "SAMPLE") -> dict[str, int]:
+    """Write sorted BAM + BAI; returns read_name → truth hap map."""
+    header = SamHeader(
+        "@HD\tVN:1.6\tSO:coordinate\n"
+        f"@RG\tID:rg1\tSM:{sample}\n",
+        [c.name for c in contigs], [len(c.seq) for c in contigs])
+    w = BamWriter(path, header)
+    truth = {}
+    for reads in reads_per_contig:
+        for _pos, rec, hap in reads:
+            w.write(rec)
+            truth[rec.read_name] = hap
+    w.close()
+    w.write_index()
+    return truth
+
+
+RG_TAG = b"RGZrg1\x00"
+
+
+def build_dataset(tmp_path, seed=0, n_contigs=2, contig_len=30000,
+                  coverage=20, sample="SAMPLE"):
+    """Standard SNV dataset; returns (fasta, vcf, bam, contigs, truth_haps)."""
+    rng = np.random.default_rng(seed)
+    contigs = [simulate_contig(rng, f"chr{i + 1}", contig_len)
+               for i in range(n_contigs)]
+    fasta = str(tmp_path / "ref.fa")
+    vcf = str(tmp_path / "calls.vcf.gz")
+    bam = str(tmp_path / "reads.bam")
+    write_fasta(fasta, contigs)
+    write_vcf(vcf, contigs, sample=sample)
+    reads = [simulate_reads(rng, c, i, coverage=coverage, rg_tag=RG_TAG)
+             for i, c in enumerate(contigs)]
+    truth = write_bam(bam, contigs, reads, sample=sample)
+    return fasta, vcf, bam, contigs, truth
