@@ -1,0 +1,206 @@
+"""Global realignment: graph-WFA allele assignment with the deterministic
+fallback ladder (ref: src/read_parsing.rs:520-867).
+
+Per read: build the window WFA graph over the het+hom variants the mapping
+overlaps, align the read's aligned subsequence, and map traversed branch
+nodes back to allele assignments (conflicts → Ambiguous). Qualities are
+exactly 2× the per-type baselines. On MaxEditDistance the read falls back to
+local realignment; once failures reach the configured count AND ratio, the
+whole block reverts to local for the remainder (encounter order preserved —
+a determinism requirement, ref: CHANGELOG.md:33-46).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from hiphase_tpu.align.wfa_graph import WFAGraph, WFAGraphError
+from hiphase_tpu.core.read_segments import ReadSegment, collapse_read_segments
+from hiphase_tpu.core.reference_genome import ReferenceGenome
+from hiphase_tpu.core.variants import Variant, VariantType
+from hiphase_tpu.io.bam import BamReader, BamRecord
+from hiphase_tpu.phasing.block_gen import PhaseBlock, filter_out_alignment_record
+from hiphase_tpu.phasing.read_parsing import (
+    GlobalRealignmentConfig, INDEL_QUAL, SNV_QUAL, SV_INDEL_QUAL, TR_QUAL,
+    local_realignment,
+)
+from hiphase_tpu.writers.phase_stats import ReadStats
+
+logger = logging.getLogger(__name__)
+
+USIZE_MAX = 2**63 - 1
+
+_GLOBAL_BASELINE = {
+    VariantType.SNV: SNV_QUAL,
+    VariantType.DELETION: INDEL_QUAL,
+    VariantType.INSERTION: INDEL_QUAL,
+    VariantType.INDEL: INDEL_QUAL,
+    VariantType.SV_DELETION: SV_INDEL_QUAL,
+    VariantType.SV_INSERTION: SV_INDEL_QUAL,
+    VariantType.TANDEM_REPEAT: TR_QUAL,
+}
+
+NOV = 3
+AMB = 2
+
+
+def global_realignment(phase_problem: PhaseBlock, read: BamRecord,
+                       variant_calls: list[Variant], hom_calls: list[Variant],
+                       reference_genome: ReferenceGenome,
+                       wfa_prune_distance: int, global_max_edit_distance: int
+                       ) -> tuple[np.ndarray, np.ndarray, ReadStats, int]:
+    """(ref: read_parsing.rs:652-867). Raises WFAGraphError on max-ED."""
+    num_variants = len(variant_calls)
+    stats = ReadStats()
+
+    coordinate_lookup: dict[int, int] = {}
+    min_position = USIZE_MAX
+    max_position = -1
+    for qpos, rpos in read.aligned_pairs():
+        coordinate_lookup[rpos] = qpos
+        if rpos < min_position:
+            min_position = rpos
+        if rpos > max_position:
+            max_position = rpos
+    assert max_position >= min_position
+
+    first_overlap = None
+    last_overlap = 0
+    num_overlaps = 0
+    for i, variant in enumerate(variant_calls):
+        if min_position <= variant.position <= max_position:
+            if first_overlap is None:
+                first_overlap = i
+            last_overlap = i + 1
+            num_overlaps += 1
+
+    if num_overlaps == 0:
+        stats.skipped_reads = 1
+        return (np.zeros(0, np.uint8), np.zeros(0, np.uint8), stats, USIZE_MAX)
+
+    first_hom_overlap = None
+    last_hom_overlap = 0
+    for i, variant in enumerate(hom_calls):
+        if min_position <= variant.position <= max_position:
+            if first_hom_overlap is None:
+                first_hom_overlap = i
+            last_hom_overlap = i + 1
+    if first_hom_overlap is None:
+        first_hom_overlap = 0
+
+    read_sequence = read.query_sequence()
+    read_start = coordinate_lookup[min_position]
+    read_end = coordinate_lookup[max_position]
+    read_align = read_sequence[read_start:read_end + 1]
+
+    chrom_seq = reference_genome.get_full_chromosome(phase_problem.chrom)
+    wfa_graph, node_to_alleles = WFAGraph.from_reference_variants_with_hom(
+        chrom_seq,
+        variant_calls[first_overlap:last_overlap],
+        hom_calls[first_hom_overlap:last_hom_overlap],
+        min_position, max_position + 1,
+        global_max_edit_distance)
+
+    wfa_result = wfa_graph.edit_distance_with_pruning(
+        read_align, wfa_prune_distance)  # raises WFAGraphError on max-ED
+
+    alleles = np.full(num_variants, NOV, dtype=np.uint8)
+    for node_index in wfa_result.traversed_nodes:
+        for var_index, allele_assignment in node_to_alleles.get(node_index, []):
+            ci = first_overlap + var_index
+            if alleles[ci] == NOV:
+                alleles[ci] = allele_assignment
+            elif alleles[ci] != allele_assignment:
+                alleles[ci] = AMB
+
+    quals = np.zeros(num_variants, dtype=np.uint8)
+    for i in range(num_variants):
+        a = alleles[i]
+        vt = variant_calls[i].variant_type
+        vt_index = int(vt)
+        if a == NOV:
+            continue
+        if a == AMB:
+            stats.failed_matches[vt_index] += 1
+            continue
+        quals[i] = 2 * _GLOBAL_BASELINE[vt]  # global quals are 2× baseline
+        stats.inexact_matches[vt_index] += 1  # all global matches count inexact
+        if a == 0:
+            stats.allele0_matches[vt_index] += 1
+        else:
+            stats.allele1_matches[vt_index] += 1
+        stats.num_alleles += 1
+
+    stats.global_aligned = 1
+    return alleles, quals, stats, wfa_result.score
+
+
+def load_full_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
+                            variant_calls: list[Variant],
+                            hom_calls: list[Variant],
+                            reference_genome: ReferenceGenome,
+                            min_matched_alleles: int, min_mapq: int,
+                            config: GlobalRealignmentConfig
+                            ) -> tuple[list[ReadSegment], list[ReadSegment], ReadStats]:
+    """Dual-mode loading with the failure ladder
+    (ref: read_parsing.rs:520-637)."""
+    read_groups: dict[str, list[ReadSegment]] = {}
+    joint_stats = ReadStats()
+
+    global_disabled = False
+    num_global_failures = 0.0
+    total_parsed = 0.0
+
+    for bam_path in bam_paths:
+        with BamReader(bam_path) as bam:
+            for read in bam.fetch(phase_problem.chrom, phase_problem.start,
+                                  phase_problem.end + 1):
+                if filter_out_alignment_record(read, min_mapq):
+                    continue
+                if global_disabled:
+                    alleles, quals, read_stats = local_realignment(
+                        read, variant_calls)
+                else:
+                    try:
+                        alleles, quals, read_stats, _score = global_realignment(
+                            phase_problem, read, variant_calls, hom_calls,
+                            reference_genome, config.wfa_prune_distance,
+                            config.max_edit_distance)
+                    except WFAGraphError:
+                        logger.debug("Reverting to local re-alignment for %s...",
+                                     read.read_name)
+                        alleles, quals, read_stats = local_realignment(
+                            read, variant_calls)
+
+                if read_stats.skipped_reads == 0:
+                    read_groups.setdefault(read.read_name, []).append(
+                        ReadSegment.new(read.read_name, alleles, quals))
+                    assert read_stats.total_aligned() == 1
+                    num_global_failures += read_stats.local_aligned
+                    total_parsed += 1.0
+                    if (not global_disabled
+                            and num_global_failures >= config.global_failure_minimum
+                            and num_global_failures / total_parsed
+                            >= config.global_failure_ratio):
+                        global_disabled = True
+                        logger.info(
+                            "B#%d Detected broad global realignment failure, "
+                            "reverting to local for the rest of the block.",
+                            phase_problem.block_index)
+                joint_stats += read_stats
+
+    read_segments: list[ReadSegment] = []
+    phasable_segments: list[ReadSegment] = []
+    for _name, group in read_groups.items():
+        collapsed = collapse_read_segments(group)
+        num_set = collapsed.get_num_set()
+        if num_set >= min_matched_alleles:
+            read_segments.append(collapsed)
+            joint_stats.num_reads += len(group)
+        else:
+            joint_stats.skipped_reads += len(group)
+            if num_set > 0:
+                phasable_segments.append(collapsed)
+    return read_segments, phasable_segments, joint_stats
