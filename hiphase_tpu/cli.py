@@ -63,6 +63,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "beam engine")
     p.add_argument("--beam-width", type=int, default=256,
                    help="TPU engine beam width")
+    p.add_argument("--batch-size", type=int, default=32,
+                   help="TPU engine blocks per device batch")
 
     filt = p.add_argument_group("Variant Filtering")
     filt.add_argument("--min-vcf-qual", dest="min_variant_quality", type=int,
@@ -278,27 +280,13 @@ def _main(argv=None) -> int:
     total_variants = 0
     logger.info("Phase block generation starting...")
 
-    solver = "astar" if args.engine == "astar" else "beam-full"
-    for i, block in enumerate(block_iterator):
-        if i < args.skip:
-            continue
-        if i >= args.skip + args.take:
-            break
-        sample_bams = sample_to_bams[block.sample_name]
-        if not block.unphased_block and (args.phase_singletons
-                                         or block.num_variants > 1):
-            phase_result, haplotag_result = solve_block(
-                block, args.vcfs, sample_bams, reference_genome,
-                reference_buffer=args.reference_buffer,
-                min_matched_alleles=args.min_matched_alleles,
-                min_mapq=args.min_mapping_quality,
-                min_queue_size=args.phase_min_queue_size,
-                queue_increment=args.phase_queue_increment,
-                global_config=global_config,
-                solver=solver)
-        else:
-            phase_result, haplotag_result = create_unphased_result(block)
+    def should_solve(block):
+        return (not block.unphased_block
+                and (args.phase_singletons or block.num_variants > 1)
+                and block.num_variants > 0)
 
+    def emit(phase_result, haplotag_result):
+        nonlocal results_received, total_variants
         total_variants += phase_result.phase_block.num_variants
         results_received += 1
         process_results(phase_result, haplotag_result)
@@ -309,6 +297,57 @@ def _main(argv=None) -> int:
                         "block %d", results_received,
                         results_received / elapsed, total_variants / elapsed,
                         vcf_writer.get_wait_block())
+
+    def windowed(iterator):
+        for i, block in enumerate(iterator):
+            if i < args.skip:
+                continue
+            if i >= args.skip + args.take:
+                break
+            yield block
+
+    if args.engine == "tpu":
+        from hiphase_tpu.parallel.orchestrator import (
+            BatchedDeviceSolver, iter_prepared)
+        from hiphase_tpu.phasing.phaser import prepare_block
+
+        def prepare_fn(block):
+            return prepare_block(
+                block, args.vcfs, sample_to_bams[block.sample_name],
+                reference_genome, args.reference_buffer,
+                args.min_matched_alleles, args.min_mapping_quality,
+                global_config)
+
+        device_solver = BatchedDeviceSolver(
+            beam_width=args.beam_width, batch_size=args.batch_size,
+            min_queue_size=args.phase_min_queue_size,
+            queue_increment=args.phase_queue_increment)
+        for kind, item in iter_prepared(windowed(block_iterator), prepare_fn,
+                                        create_unphased_result, should_solve,
+                                        threads=args.threads):
+            if kind == "unphased":
+                emit(*create_unphased_result(item))
+            else:
+                for pr, hr in device_solver.submit(item):
+                    emit(pr, hr)
+        for pr, hr in device_solver.drain():
+            emit(pr, hr)
+    else:
+        for block in windowed(block_iterator):
+            if should_solve(block):
+                phase_result, haplotag_result = solve_block(
+                    block, args.vcfs, sample_to_bams[block.sample_name],
+                    reference_genome,
+                    reference_buffer=args.reference_buffer,
+                    min_matched_alleles=args.min_matched_alleles,
+                    min_mapq=args.min_mapping_quality,
+                    min_queue_size=args.phase_min_queue_size,
+                    queue_increment=args.phase_queue_increment,
+                    global_config=global_config,
+                    solver="astar")
+            else:
+                phase_result, haplotag_result = create_unphased_result(block)
+            emit(phase_result, haplotag_result)
 
     # finalization (ref: main.rs:464-570)
     if not debug_run:
