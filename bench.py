@@ -12,7 +12,16 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/hiphase_tpu_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from hiphase_tpu.phasing.beam import beam_solve_batch
 

@@ -42,10 +42,16 @@ def edit_distance_batch(queries: np.ndarray, query_lens: np.ndarray,
     """Batched Levenshtein over padded uint8 arrays.
 
     queries: [B, Lq], targets: [B, Lt], lens give true lengths per row.
-    Returns [B] int32 distances. Anti-diagonal-free formulation: roll the
-    DP row across all batch rows at once (the i-loop is over max query len,
-    masked past each row's true length).
+    Returns [B] int32 distances. Uses the native C++ kernel when built;
+    otherwise a vectorized rolling-row formulation (the i-loop is over max
+    query len, masked past each row's true length).
     """
+    from hiphase_tpu.io import native
+    out = native.edit_distance_batch_native(
+        queries, np.asarray(query_lens, np.int32),
+        targets, np.asarray(target_lens, np.int32))
+    if out is not None:
+        return out
     B, Lq = queries.shape
     _, Lt = targets.shape
     prev = np.broadcast_to(np.arange(Lt + 1, dtype=np.int32), (B, Lt + 1)).copy()

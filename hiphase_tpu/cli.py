@@ -307,6 +307,16 @@ def _main(argv=None) -> int:
             yield block
 
     if args.engine == "tpu":
+        # persistent compilation cache: bucket-shape compiles are expensive
+        # on remote-compile TPU backends and fully reusable across runs
+        import jax
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/hiphase_tpu_jax"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # older jax without these options
+            pass
         from hiphase_tpu.parallel.orchestrator import (
             BatchedDeviceSolver, iter_prepared)
         from hiphase_tpu.phasing.phaser import prepare_block

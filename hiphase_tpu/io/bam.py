@@ -507,12 +507,15 @@ class BaiBuilder:
 
 
 class BamWriter:
-    """BGZF BAM writer that simultaneously builds the BAI index."""
+    """BAM writer over the batched BGZF codec (parallel deflate when the
+    native library is built), building the BAI index from deferred
+    uncompressed offsets."""
 
     def __init__(self, path: str, header: SamHeader, level: int = 6):
+        from hiphase_tpu.io.bgzf import BgzfBatchWriter
         self.path = path
         self.header = header
-        self._bgzf = BgzfWriter(path, level=level)
+        self._bgzf = BgzfBatchWriter(path, level=level)
         text = header.text.encode()
         buf = bytearray(BAM_MAGIC)
         buf += struct.pack("<i", len(text)) + text
@@ -521,16 +524,16 @@ class BamWriter:
             nb = name.encode() + b"\x00"
             buf += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
         self._bgzf.write(bytes(buf))
-        self._bai = BaiBuilder(len(header.ref_names))
+        self._entries: list[tuple[int, int, int, int, int, bool]] = []
         self._closed = False
 
     def write(self, rec: BamRecord) -> None:
-        vbeg = self._bgzf.virtual_offset
+        ubeg = self._bgzf.upos
         self._bgzf.write(struct.pack("<i", len(rec.raw)) + rec.raw)
-        vend = self._bgzf.virtual_offset
+        uend = self._bgzf.upos
         end = rec.reference_end() if not rec.is_unmapped else rec.pos + 1
-        self._bai.add(rec.refid, rec.pos, end, vbeg, vend,
-                      mapped=not rec.is_unmapped)
+        self._entries.append((rec.refid, rec.pos, end, ubeg, uend,
+                              not rec.is_unmapped))
 
     def close(self) -> None:
         if self._closed:
@@ -540,4 +543,8 @@ class BamWriter:
 
     def write_index(self) -> None:
         assert self._closed, "close the BAM before writing its index"
-        self._bai.build().save(self.path + ".bai")
+        bai = BaiBuilder(len(self.header.ref_names))
+        for refid, beg, end, ubeg, uend, mapped in self._entries:
+            bai.add(refid, beg, end, self._bgzf.voffset(ubeg),
+                    self._bgzf.voffset(uend), mapped=mapped)
+        bai.build().save(self.path + ".bai")

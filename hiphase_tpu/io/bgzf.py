@@ -197,13 +197,114 @@ class BgzfReader:
             yield line
 
     def read_all(self) -> bytes:
-        """Decompress the remainder of the stream."""
+        """Decompress the remainder of the stream (parallel native path when
+        reading from the start of the file)."""
+        if self._block_start == 0 and self._within == 0:
+            from hiphase_tpu.io import native
+            self._fh.seek(0)
+            raw = self._fh.read()
+            out = native.bgzf_decompress_all(raw)
+            if out is not None:
+                self._load_block(len(raw))  # park the cursor at EOF
+                return out
+            self._load_block(0)
         chunks = [self._block[self._within:]]
         self._within = len(self._block)
         while self._load_block(self._next_coffset):
             chunks.append(self._block)
             self._within = len(self._block)
         return b"".join(chunks)
+
+
+class BgzfBatchWriter:
+    """BGZF writer with deterministic block partitioning and batched
+    (optionally native-multithreaded) compression.
+
+    Payload blocks are always exactly MAX_BLOCK_PAYLOAD bytes (except the
+    final one), so the block index of any uncompressed position is
+    ``upos // MAX_BLOCK_PAYLOAD`` — callers record uncompressed positions
+    during writing and convert them to virtual offsets after ``close()``
+    via ``voffset()``. This is what lets compression run as a parallel
+    batch (the analog of htslib's bgzf thread pool) while index builders
+    still get exact chunk offsets.
+    """
+
+    BATCH_BLOCKS = 256  # ~16 MiB of payload per compression batch
+
+    def __init__(self, path_or_fh, level: int = 6, threads: int = 4):
+        if isinstance(path_or_fh, (str, bytes)):
+            self._fh: BinaryIO = open(path_or_fh, "wb")
+            self._owns = True
+        else:
+            self._fh = path_or_fh
+            self._owns = False
+        self._buf = bytearray()
+        self._level = level
+        self._threads = threads
+        self._upos = 0
+        self._coffsets = [0]  # compressed offset of each payload block
+        self._closed = False
+
+    @property
+    def upos(self) -> int:
+        """Total uncompressed bytes written so far."""
+        return self._upos
+
+    def write(self, data: bytes) -> int:
+        self._buf += data
+        self._upos += len(data)
+        if len(self._buf) >= self.BATCH_BLOCKS * MAX_BLOCK_PAYLOAD:
+            self._compress_batch(final=False)
+        return len(data)
+
+    def _compress_batch(self, final: bool) -> None:
+        limit = len(self._buf) if final else \
+            (len(self._buf) // MAX_BLOCK_PAYLOAD) * MAX_BLOCK_PAYLOAD
+        if limit == 0:
+            return
+        chunk = bytes(self._buf[:limit])
+        del self._buf[:limit]
+        payloads = [chunk[i:i + MAX_BLOCK_PAYLOAD]
+                    for i in range(0, len(chunk), MAX_BLOCK_PAYLOAD)]
+        from hiphase_tpu.io import native
+        blob = native.bgzf_compress_blocks(payloads, self._level,
+                                           self._threads)
+        if blob is None:
+            parts = [compress_block(p, self._level) for p in payloads]
+            blob = b"".join(parts)
+            for part in parts:
+                self._coffsets.append(self._coffsets[-1] + len(part))
+        else:
+            # native path: re-scan block sizes from the emitted stream
+            pos = 0
+            base = self._coffsets[-1]
+            while pos < len(blob):
+                bsize = (blob[pos + 16] | (blob[pos + 17] << 8)) + 1
+                pos += bsize
+                self._coffsets.append(base + pos)
+        self._fh.write(blob)
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._compress_batch(final=True)
+        self._fh.write(BGZF_EOF)
+        if self._owns:
+            self._fh.close()
+        else:
+            self._fh.flush()
+        self._closed = True
+
+    def voffset(self, upos: int) -> int:
+        """Convert an uncompressed position to a BGZF virtual offset.
+        Only valid after close()."""
+        assert self._closed
+        block = upos // MAX_BLOCK_PAYLOAD
+        within = upos % MAX_BLOCK_PAYLOAD
+        if block >= len(self._coffsets):
+            block = len(self._coffsets) - 1
+            within = 0
+        return (self._coffsets[block] << 16) | within
 
 
 class BgzfWriter:

@@ -301,23 +301,29 @@ class VcfReader:
 
 
 class VcfWriter:
-    """bgzip VCF writer that simultaneously builds a tabix/CSI index."""
+    """bgzip VCF writer that simultaneously builds a tabix/CSI index.
+
+    Uses the batched BGZF writer (parallel deflate when the native library
+    is built); record offsets are tracked as uncompressed positions and
+    converted to virtual offsets at index time."""
 
     def __init__(self, path: str, header: VcfHeader, csi: bool = False):
+        from hiphase_tpu.io.bgzf import BgzfBatchWriter
         self.path = path
         self.header = header
         self.csi = csi
-        self._bgzf = BgzfWriter(path)
+        self._bgzf = BgzfBatchWriter(path)
         self._bgzf.write(header.serialize())
-        self._tabix = TabixBuilder()
+        self._entries: list[tuple[str, int, int, int, int]] = []
         self._closed = False
 
     def write(self, rec: VcfRecord) -> None:
-        vbeg = self._bgzf.virtual_offset
+        ubeg = self._bgzf.upos
         self._bgzf.write(rec.serialize())
-        vend = self._bgzf.virtual_offset
+        uend = self._bgzf.upos
         pos = rec.pos0
-        self._tabix.add(rec.chrom, pos, pos + max(len(rec.ref), 1), vbeg, vend)
+        self._entries.append(
+            (rec.chrom, pos, pos + max(len(rec.ref), 1), ubeg, uend))
 
     def close(self) -> None:
         if self._closed:
@@ -328,7 +334,11 @@ class VcfWriter:
     def write_index(self) -> None:
         """(ref: vcf_util.rs:32-54 — tbi, or CSI min_shift 14)"""
         assert self._closed
-        idx = self._tabix.build()
+        tabix = TabixBuilder()
+        for chrom, beg, end, ubeg, uend in self._entries:
+            tabix.add(chrom, beg, end, self._bgzf.voffset(ubeg),
+                      self._bgzf.voffset(uend))
+        idx = tabix.build()
         if self.csi:
             idx.save_csi(self.path + ".csi")
         else:

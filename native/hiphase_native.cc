@@ -1,0 +1,261 @@
+// hiphase_tpu native host library.
+//
+// The reference's only native dependency is htslib (C) — BGZF codec with a
+// thread pool plus record I/O (SURVEY.md §2 L0/§2.11). This library provides
+// the TPU build's equivalents:
+//   * multithreaded BGZF block compression / decompression (the analog of
+//     htslib's bgzf + tpool, used by the BAM/VCF writers and readers)
+//   * batched Levenshtein edit distance (hot loop #3, the local-realignment
+//     inexact matcher, ref: src/sequence_alignment.rs)
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this environment).
+//
+// Build: make -C native   (produces libhiphase_native.so)
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr int kBgzfHeaderLen = 18;   // gzip header + BC extra subfield
+constexpr int kBgzfFooterLen = 8;    // CRC32 + ISIZE
+
+// Writes the 18-byte BGZF member header with total block size `bsize`.
+void write_bgzf_header(uint8_t* dst, uint32_t bsize) {
+  static const uint8_t kFixed[16] = {
+      0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00,
+      0x00, 0xff, 0x06, 0x00, 0x42, 0x43, 0x02, 0x00};
+  std::memcpy(dst, kFixed, sizeof(kFixed));
+  uint16_t bs = static_cast<uint16_t>(bsize - 1);
+  dst[16] = bs & 0xff;
+  dst[17] = (bs >> 8) & 0xff;
+}
+
+// Parallel-for over [0, n) with at most `threads` workers.
+template <typename F>
+void parallel_for(int64_t n, int threads, F&& fn) {
+  if (threads <= 1 || n <= 1) {
+    for (int64_t i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) return;
+      fn(i);
+    }
+  };
+  int n_workers = static_cast<int>(std::min<int64_t>(threads, n));
+  std::vector<std::thread> pool;
+  pool.reserve(n_workers);
+  for (int t = 0; t < n_workers; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Compress `n_blocks` independent payloads into BGZF blocks.
+//   in:          concatenated payload bytes
+//   in_offsets:  n_blocks+1 offsets into `in` (block i = [off[i], off[i+1]))
+//   out:         output buffer of capacity `out_capacity`
+//   out_offsets: n_blocks+1, filled with offsets of the emitted blocks
+// Returns total bytes written, or -1 on error.
+int64_t hn_bgzf_compress_many(const uint8_t* in, const int64_t* in_offsets,
+                              int n_blocks, int level, uint8_t* out,
+                              int64_t out_capacity, int64_t* out_offsets,
+                              int n_threads) {
+  // worst-case deflate expansion per 64KiB block is well under this bound
+  const int64_t max_block = 65536 + 1024 + kBgzfHeaderLen + kBgzfFooterLen;
+  std::vector<std::vector<uint8_t>> results(n_blocks);
+  std::atomic<bool> failed(false);
+
+  parallel_for(n_blocks, n_threads, [&](int64_t i) {
+    if (failed.load(std::memory_order_relaxed)) return;
+    const uint8_t* src = in + in_offsets[i];
+    int64_t src_len = in_offsets[i + 1] - in_offsets[i];
+    if (src_len > 65536) {
+      failed.store(true);
+      return;
+    }
+    std::vector<uint8_t>& dst = results[i];
+    dst.resize(max_block);
+
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY)
+        != Z_OK) {
+      failed.store(true);
+      return;
+    }
+    zs.next_in = const_cast<uint8_t*>(src);
+    zs.avail_in = static_cast<uInt>(src_len);
+    zs.next_out = dst.data() + kBgzfHeaderLen;
+    zs.avail_out = static_cast<uInt>(max_block - kBgzfHeaderLen -
+                                     kBgzfFooterLen);
+    int ret = deflate(&zs, Z_FINISH);
+    int64_t cdata_len = zs.total_out;
+    deflateEnd(&zs);
+    if (ret != Z_STREAM_END) {
+      failed.store(true);
+      return;
+    }
+    uint32_t bsize =
+        static_cast<uint32_t>(kBgzfHeaderLen + cdata_len + kBgzfFooterLen);
+    write_bgzf_header(dst.data(), bsize);
+    uint32_t crc = crc32(0L, Z_NULL, 0);
+    crc = crc32(crc, src, static_cast<uInt>(src_len));
+    uint8_t* tail = dst.data() + kBgzfHeaderLen + cdata_len;
+    uint32_t isize = static_cast<uint32_t>(src_len);
+    std::memcpy(tail, &crc, 4);
+    std::memcpy(tail + 4, &isize, 4);
+    dst.resize(bsize);
+  });
+  if (failed.load()) return -1;
+
+  int64_t total = 0;
+  out_offsets[0] = 0;
+  for (int i = 0; i < n_blocks; ++i) {
+    total += static_cast<int64_t>(results[i].size());
+    out_offsets[i + 1] = total;
+  }
+  if (total > out_capacity) return -1;
+  parallel_for(n_blocks, n_threads, [&](int64_t i) {
+    std::memcpy(out + out_offsets[i], results[i].data(), results[i].size());
+  });
+  return total;
+}
+
+// Decompress `n_blocks` BGZF blocks.
+//   in:            concatenated raw BGZF blocks
+//   block_offsets: n_blocks+1 offsets of each block in `in`
+//   out:           output buffer
+//   out_offsets:   n_blocks+1 offsets; caller fills via hn_bgzf_scan first
+// Returns 0 on success, -1 on error.
+int32_t hn_bgzf_decompress_many(const uint8_t* in, const int64_t* block_offsets,
+                                int n_blocks, uint8_t* out,
+                                const int64_t* out_offsets, int n_threads) {
+  std::atomic<bool> failed(false);
+  parallel_for(n_blocks, n_threads, [&](int64_t i) {
+    if (failed.load(std::memory_order_relaxed)) return;
+    const uint8_t* block = in + block_offsets[i];
+    int64_t block_len = block_offsets[i + 1] - block_offsets[i];
+    if (block_len < kBgzfHeaderLen + kBgzfFooterLen) {
+      failed.store(true);
+      return;
+    }
+    // extra-field length lives at offset 10; the BC subfield may not be
+    // first in pathological writers, but both our writer and htslib put it
+    // first; fall back to failure otherwise.
+    uint16_t xlen = static_cast<uint16_t>(block[10] | (block[11] << 8));
+    int64_t cdata_off = 12 + xlen;
+    int64_t cdata_len = block_len - cdata_off - kBgzfFooterLen;
+    uint32_t isize;
+    std::memcpy(&isize, block + block_len - 4, 4);
+    int64_t expected = out_offsets[i + 1] - out_offsets[i];
+    if (static_cast<int64_t>(isize) != expected || cdata_len < 0) {
+      failed.store(true);
+      return;
+    }
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK) {
+      failed.store(true);
+      return;
+    }
+    zs.next_in = const_cast<uint8_t*>(block + cdata_off);
+    zs.avail_in = static_cast<uInt>(cdata_len);
+    zs.next_out = out + out_offsets[i];
+    zs.avail_out = static_cast<uInt>(expected);
+    int ret = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    if (ret != Z_STREAM_END || static_cast<int64_t>(zs.total_out) != expected) {
+      failed.store(true);
+    }
+  });
+  return failed.load() ? -1 : 0;
+}
+
+// Scan a BGZF byte stream, emitting (block offset, uncompressed size) pairs.
+// Returns the number of blocks found, or -1 on malformed input.
+//   offsets:  capacity `max_blocks + 1`; filled with block start offsets,
+//             plus the end offset at [n]
+//   isizes:   capacity `max_blocks`; uncompressed sizes
+int64_t hn_bgzf_scan(const uint8_t* in, int64_t len, int64_t* offsets,
+                     int64_t* isizes, int64_t max_blocks) {
+  int64_t pos = 0;
+  int64_t n = 0;
+  while (pos < len) {
+    if (n >= max_blocks) return -1;
+    if (pos + kBgzfHeaderLen > len) return -1;
+    if (in[pos] != 0x1f || in[pos + 1] != 0x8b) return -1;
+    uint16_t xlen =
+        static_cast<uint16_t>(in[pos + 10] | (in[pos + 11] << 8));
+    // find the BC subfield for BSIZE
+    int64_t ext = pos + 12;
+    int64_t ext_end = ext + xlen;
+    if (ext_end > len) return -1;
+    int64_t bsize = -1;
+    while (ext + 4 <= ext_end) {
+      uint8_t si1 = in[ext], si2 = in[ext + 1];
+      uint16_t slen = static_cast<uint16_t>(in[ext + 2] | (in[ext + 3] << 8));
+      if (si1 == 'B' && si2 == 'C' && slen == 2) {
+        bsize = (in[ext + 4] | (in[ext + 5] << 8)) + 1;
+        break;
+      }
+      ext += 4 + slen;
+    }
+    if (bsize < 0 || pos + bsize > len) return -1;
+    offsets[n] = pos;
+    uint32_t isize;
+    std::memcpy(&isize, in + pos + bsize - 4, 4);
+    isizes[n] = isize;
+    ++n;
+    pos += bsize;
+  }
+  offsets[n] = pos;
+  return n;
+}
+
+// Batched Levenshtein edit distance over padded byte matrices.
+//   a: [n, a_stride], b: [n, b_stride]; lens give true lengths per row.
+// Writes n int32 distances to `out`.
+void hn_edit_distance_batch(const uint8_t* a, const int32_t* a_lens,
+                            int32_t a_stride, const uint8_t* b,
+                            const int32_t* b_lens, int32_t b_stride,
+                            int32_t n, int32_t* out, int n_threads) {
+  parallel_for(n, n_threads, [&](int64_t i) {
+    const uint8_t* va = a + i * a_stride;
+    const uint8_t* vb = b + i * b_stride;
+    int32_t la = a_lens[i];
+    int32_t lb = b_lens[i];
+    if (la == 0 || lb == 0) {
+      out[i] = la + lb;
+      return;
+    }
+    std::vector<int32_t> row(lb + 1);
+    for (int32_t j = 0; j <= lb; ++j) row[j] = j;
+    for (int32_t x = 1; x <= la; ++x) {
+      int32_t diag = row[0];
+      row[0] = x;
+      for (int32_t y = 1; y <= lb; ++y) {
+        int32_t sub = diag + (va[x - 1] != vb[y - 1]);
+        diag = row[y];
+        row[y] = std::min({sub, diag + 1, row[y - 1] + 1});
+      }
+    }
+    out[i] = row[lb];
+  });
+}
+
+int32_t hn_version() { return 1; }
+
+}  // extern "C"

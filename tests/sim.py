@@ -22,6 +22,7 @@ class SimVariant:
     alt: bytes
     gt: tuple[int, int]  # truth genotype per haplotype (h1 allele, h2 allele)
     gq: int = 60
+    info: str = "."      # INFO column (e.g. SVTYPE=DEL, TRID=...)
 
 
 @dataclass
@@ -81,7 +82,7 @@ def simulate_contig(rng, name: str, length: int, het_snv_every: int = 120,
 
 
 def hap_sequence(contig: SimContig, hap: int) -> bytes:
-    """Apply the truth alleles for one haplotype (SNV-only sim)."""
+    """Apply the truth alleles for one haplotype (SNV-only fast path)."""
     seq = bytearray(contig.seq)
     for v in contig.variants:
         allele = v.gt[hap]
@@ -89,6 +90,57 @@ def hap_sequence(contig: SimContig, hap: int) -> bytes:
             assert len(v.ref) == 1 and len(v.alt) == 1
             seq[v.pos] = v.alt[0]
     return bytes(seq)
+
+
+def hap_arrays(contig: SimContig, hap: int) -> tuple[bytes, np.ndarray]:
+    """Apply the truth alleles (any ref/alt lengths) for one haplotype.
+    Returns (hap sequence, hap2ref) where hap2ref[i] is the reference
+    coordinate of haplotype base i, or -1 for inserted bases."""
+    seq = bytearray()
+    h2r: list[int] = []
+    ref = contig.seq
+    pos = 0
+    for v in sorted(contig.variants, key=lambda v: v.pos):
+        if v.gt[hap] != 1:
+            continue
+        assert v.pos >= pos, "overlapping variants in sim"
+        # identity up to the variant
+        seq += ref[pos:v.pos]
+        h2r.extend(range(pos, v.pos))
+        # alt allele: aligned bases map 1:1 to the ref allele prefix,
+        # surplus alt bases are insertions (-1), missing ref bases deletions
+        n_aligned = min(len(v.ref), len(v.alt))
+        seq += v.alt
+        h2r.extend(range(v.pos, v.pos + n_aligned))
+        h2r.extend([-1] * (len(v.alt) - n_aligned))
+        pos = v.pos + len(v.ref)
+    seq += ref[pos:]
+    h2r.extend(range(pos, len(ref)))
+    return bytes(seq), np.array(h2r, dtype=np.int64)
+
+
+def cigar_from_h2r(h2r_slice: np.ndarray) -> list[tuple[str, int]]:
+    """Derive a CIGAR from a hap2ref window (first/last entries mapped)."""
+    ops: list[tuple[str, int]] = []
+
+    def push(op, n):
+        if n <= 0:
+            return
+        if ops and ops[-1][0] == op:
+            ops[-1] = (op, ops[-1][1] + n)
+        else:
+            ops.append((op, n))
+
+    prev_ref = None
+    for r in h2r_slice:
+        if r < 0:
+            push("I", 1)
+            continue
+        if prev_ref is not None and r > prev_ref + 1:
+            push("D", int(r - prev_ref - 1))
+        push("M", 1)
+        prev_ref = int(r)
+    return ops
 
 
 def write_fasta(path: str, contigs: list[SimContig]) -> None:
@@ -118,7 +170,7 @@ def write_vcf(path: str, contigs: list[SimContig], sample: str = "SAMPLE",
             extra = "\t0/0:60" * len(extra_samples or [])
             wr.write(VcfRecord.parse(
                 f"{c.name}\t{v.pos + 1}\t.\t{v.ref.decode()}\t"
-                f"{v.alt.decode()}\t60\tPASS\t.\tGT:GQ\t{gt}:{v.gq}"
+                f"{v.alt.decode()}\t60\tPASS\t{v.info}\tGT:GQ\t{gt}:{v.gq}"
                 f"{extra}".encode()))
     wr.close()
     wr.write_index()
@@ -163,6 +215,90 @@ def write_bam(path: str, contigs: list[SimContig], reads_per_contig,
     w.close()
     w.write_index()
     return truth
+
+
+def simulate_contig_mixed(rng, name: str, length: int, spacing: int = 150,
+                          sv_del: bool = False, tandem_repeat: bool = False
+                          ) -> SimContig:
+    """SNVs + small insertions + small deletions (optionally an SV deletion
+    and a tandem-repeat variant), non-overlapping, mixed het/hom."""
+    seq = rng.choice(np.frombuffer(BASES, dtype=np.uint8),
+                     size=length).astype(np.uint8).tobytes()
+    contig = SimContig(name, seq)
+    pos = 100
+    while pos < length - 200:
+        kind = rng.choice(["snv", "snv", "snv", "ins", "del", "hom"])
+        ref1 = seq[pos:pos + 1]
+        if kind == "snv" or kind == "hom":
+            alt = bytes([rng.choice([b for b in BASES if b != ref1[0]])])
+            gt = (1, 1) if kind == "hom" else \
+                ((0, 1) if rng.random() < 0.5 else (1, 0))
+            contig.variants.append(SimVariant(pos, ref1, alt, gt))
+        elif kind == "ins":
+            ins = rng.choice(np.frombuffer(BASES, dtype=np.uint8),
+                             size=int(rng.integers(1, 6))).astype(np.uint8).tobytes()
+            gt = (0, 1) if rng.random() < 0.5 else (1, 0)
+            contig.variants.append(SimVariant(pos, ref1, ref1 + ins, gt))
+        else:  # del
+            dlen = int(rng.integers(1, 6))
+            ref = seq[pos:pos + 1 + dlen]
+            gt = (0, 1) if rng.random() < 0.5 else (1, 0)
+            contig.variants.append(SimVariant(pos, ref, ref1, gt))
+        pos += spacing + int(rng.integers(0, 40))
+    if sv_del:
+        # one ~120bp deletion tagged as an SV in the middle, clear of others
+        mid = length // 2
+        contig.variants = [v for v in contig.variants
+                           if v.pos + len(v.ref) < mid - 20
+                           or v.pos > mid + 160]
+        ref = seq[mid:mid + 121]
+        gt = (0, 1) if rng.random() < 0.5 else (1, 0)
+        contig.variants.append(SimVariant(mid, ref, ref[:1], gt,
+                                          info="SVTYPE=DEL"))
+    if tandem_repeat:
+        # a repeat-expansion site near 1/4 of the contig, TRGT-style TRID tag
+        q = length // 4
+        contig.variants = [v for v in contig.variants
+                           if v.pos + len(v.ref) < q - 20 or v.pos > q + 60]
+        unit = b"ACA"
+        ref = seq[q:q + 1] + unit * 4
+        # mutate the underlying reference so REF matches the genome
+        contig.seq = seq[:q + 1] + unit * 4 + seq[q + 1 + 12:]
+        alt = seq[q:q + 1] + unit * 7
+        gt = (0, 1) if rng.random() < 0.5 else (1, 0)
+        contig.variants.append(SimVariant(q, ref, alt, gt,
+                                          info=f"TRID=TR_{name}_{q}"))
+    contig.variants.sort(key=lambda v: v.pos)
+    return contig
+
+
+def simulate_reads_mixed(rng, contig: SimContig, refid: int,
+                         read_length: int = 2000, coverage: int = 20,
+                         rg_tag: bytes = b"") -> list[tuple]:
+    """Reads from haplotypes carrying indels: CIGARs derived from the
+    hap→ref coordinate map (M/I/D)."""
+    haps = [hap_arrays(contig, 0), hap_arrays(contig, 1)]
+    n_reads = max(1, coverage * len(contig.seq) // read_length)
+    out = []
+    for i in range(n_reads):
+        hap = int(rng.integers(0, 2))
+        hseq, h2r = haps[hap]
+        vpos = int(rng.integers(-read_length + 200, len(hseq) - 200))
+        s = max(0, vpos)
+        e = min(len(hseq), vpos + read_length)
+        # don't start/end on an inserted base
+        while s < e and h2r[s] < 0:
+            s += 1
+        while e > s and h2r[e - 1] < 0:
+            e -= 1
+        if e - s < 50:
+            continue
+        cigar = cigar_from_h2r(h2r[s:e])
+        rec = make_bam_record(f"{contig.name}_read{i}", refid, int(h2r[s]),
+                              hseq[s:e], cigar, tags=rg_tag)
+        out.append((int(h2r[s]), rec, hap))
+    out.sort(key=lambda t: t[0])
+    return out
 
 
 RG_TAG = b"RGZrg1\x00"
