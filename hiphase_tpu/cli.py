@@ -235,14 +235,15 @@ def _main(argv=None) -> int:
     vcf_writer = OrderedVcfWriter(
         args.vcfs, args.output_vcfs, args.min_variant_quality, sample_names,
         program_version=full_version(), command_line=command_line,
-        csi=args.csi_index)
+        csi=args.csi_index, io_threads=args.io_threads)
     bam_writers: dict[str, OrderedBamWriter] = {}
     if args.output_bams:
         for sample_name in sample_names:
             bam_writers[sample_name] = OrderedBamWriter(
                 sample_name, sample_to_bams[sample_name],
                 sample_to_output_bams[sample_name],
-                program_version=full_version(), command_line=command_line)
+                program_version=full_version(), command_line=command_line,
+                io_threads=args.io_threads)
     stats_writer = StatsWriter(args.stats_file) if args.stats_file else None
     haplotag_writer = HaplotagWriter(args.haplotag_file) if args.haplotag_file else None
     block_collector = BlockStatsCollector()

@@ -511,11 +511,12 @@ class BamWriter:
     native library is built), building the BAI index from deferred
     uncompressed offsets."""
 
-    def __init__(self, path: str, header: SamHeader, level: int = 6):
+    def __init__(self, path: str, header: SamHeader, level: int = 6,
+                 io_threads: int = 4):
         from hiphase_tpu.io.bgzf import BgzfBatchWriter
         self.path = path
         self.header = header
-        self._bgzf = BgzfBatchWriter(path, level=level)
+        self._bgzf = BgzfBatchWriter(path, level=level, threads=io_threads)
         text = header.text.encode()
         buf = bytearray(BAM_MAGIC)
         buf += struct.pack("<i", len(text)) + text

@@ -307,12 +307,13 @@ class VcfWriter:
     is built); record offsets are tracked as uncompressed positions and
     converted to virtual offsets at index time."""
 
-    def __init__(self, path: str, header: VcfHeader, csi: bool = False):
+    def __init__(self, path: str, header: VcfHeader, csi: bool = False,
+                 io_threads: int = 4):
         from hiphase_tpu.io.bgzf import BgzfBatchWriter
         self.path = path
         self.header = header
         self.csi = csi
-        self._bgzf = BgzfBatchWriter(path)
+        self._bgzf = BgzfBatchWriter(path, threads=io_threads)
         self._bgzf.write(header.serialize())
         self._entries: list[tuple[str, int, int, int, int]] = []
         self._closed = False

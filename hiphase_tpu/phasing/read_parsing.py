@@ -83,18 +83,21 @@ def local_realignment(read: BamRecord, variant_calls: list[Variant]
 
     alleles = np.full(num_variants, NOV, dtype=np.uint8)
     quals = np.zeros(num_variants, dtype=np.uint8)
+    exact_flags = np.zeros(num_variants, dtype=bool)
+    overlap_flags = np.zeros(num_variants, dtype=bool)
+    pendings: list[tuple[int, bytes, int, int]] = []  # (vi, obs, hc, tc)
     num_overlaps = 0
     last_deletion_end = 0
 
     for vi, variant in enumerate(variant_calls):
         variant_pos = variant.position
         vt = variant.variant_type
-        vt_index = int(vt)
 
         allele = NOV
         qual = MISSING_QUAL
         exact_allele = False
         overlaps_allele = False
+        pending = None
 
         if variant.is_ignored:
             pass  # stays NoOverlap/0 (ref: read_parsing.rs:180-186)
@@ -107,16 +110,61 @@ def local_realignment(read: BamRecord, variant_calls: list[Variant]
                 _sv_deletion_allele(variant, coordinate_lookup, min_position,
                                     aligned_end, last_deletion_end)
         else:
-            allele, qual, exact_allele, overlaps_allele = _window_allele(
-                variant, coordinate_lookup, min_position, aligned_end,
-                read_sequence, read_qualities)
+            allele, qual, exact_allele, overlaps_allele, pending = \
+                _window_allele(variant, coordinate_lookup, min_position,
+                               aligned_end, read_sequence, read_qualities)
+        if pending is not None:
+            obs, hc, tc = pending
+            pendings.append((vi, obs, hc, tc))
 
-        if overlaps_allele:
+        alleles[vi] = allele
+        quals[vi] = qual
+        exact_flags[vi] = exact_allele
+        overlap_flags[vi] = overlaps_allele
+
+    # one batched edit-distance resolution for all inexact matches of this
+    # read (ref per-variant path: variants.rs:624-641; native kernel when
+    # available)
+    if pendings:
+        from hiphase_tpu.align.edit_distance import edit_distance_batch
+        a0s = [variant_calls[vi].allele0[hc:len(variant_calls[vi].allele0) - tc]
+               for vi, _obs, hc, tc in pendings]
+        a1s = [variant_calls[vi].allele1[hc:len(variant_calls[vi].allele1) - tc]
+               for vi, _obs, hc, tc in pendings]
+        obs_list = [obs for _vi, obs, _hc, _tc in pendings]
+        n = len(pendings)
+        lq = max(max(len(o) for o in obs_list), 1)
+        lt = max(max(len(a) for a in a0s + a1s), 1)
+        Q = np.zeros((2 * n, lq), dtype=np.uint8)
+        T = np.zeros((2 * n, lt), dtype=np.uint8)
+        qlens = np.zeros(2 * n, dtype=np.int32)
+        tlens = np.zeros(2 * n, dtype=np.int32)
+        for i, obs in enumerate(obs_list):
+            arr = np.frombuffer(obs, dtype=np.uint8)
+            Q[2 * i, :len(obs)] = arr
+            Q[2 * i + 1, :len(obs)] = arr
+            qlens[2 * i] = qlens[2 * i + 1] = len(obs)
+            T[2 * i, :len(a0s[i])] = np.frombuffer(a0s[i], dtype=np.uint8)
+            tlens[2 * i] = len(a0s[i])
+            T[2 * i + 1, :len(a1s[i])] = np.frombuffer(a1s[i], dtype=np.uint8)
+            tlens[2 * i + 1] = len(a1s[i])
+        dists = edit_distance_batch(Q, qlens, T, tlens)
+        for i, (vi, _obs, _hc, _tc) in enumerate(pendings):
+            d0, d1 = int(dists[2 * i]), int(dists[2 * i + 1])
+            # ties → Ambiguous; qual keeps the harmonic-scaled value either
+            # way, matching the reference's inexact path (read_parsing.rs:283)
+            alleles[vi] = REF if d0 < d1 else (ALT if d1 < d0 else AMB)
+
+    # stats pass (counts are identical to the reference's inline accumulation)
+    for vi in range(num_variants):
+        allele = alleles[vi]
+        vt_index = int(variant_calls[vi].variant_type)
+        if overlap_flags[vi]:
             assert allele <= AMB
             if allele == AMB:
                 stats.failed_matches[vt_index] += 1
             else:
-                if exact_allele:
+                if exact_flags[vi]:
                     stats.exact_matches[vt_index] += 1
                 else:
                     stats.inexact_matches[vt_index] += 1
@@ -128,9 +176,6 @@ def local_realignment(read: BamRecord, variant_calls: list[Variant]
                 stats.num_alleles += 1
         else:
             assert allele == NOV
-
-        alleles[vi] = allele
-        quals[vi] = qual
 
     stats.skipped_reads = 1 if num_overlaps == 0 else 0
     stats.local_aligned = 1 - stats.skipped_reads
@@ -194,10 +239,11 @@ def _window_allele(variant: Variant, coordinate_lookup: dict[int, int],
         ss, se = start_coordinate, end_coordinate
         obs = read_sequence[ss:se]
         allele = variant.match_allele(obs)
+        pending = None
         if allele == AMB:
-            allele_t, _ed, _other = variant.closest_allele_clip(
-                obs, start_clip - 1, end_clip - 1)
-            allele = int(allele_t)
+            # defer the two edit distances to one batched call per read
+            # (hot loop #3; native kernel when built)
+            pending = (obs, start_clip - 1, end_clip - 1)
             exact_allele = False
         else:
             exact_allele = True
@@ -211,11 +257,11 @@ def _window_allele(variant: Variant, coordinate_lookup: dict[int, int],
             qual_factor = min(harmonic / 40.0, 1.0)
         baseline = _BASELINE[variant.variant_type]
         qual = int(max(baseline * qual_factor, 1.0))
-        return allele, qual, exact_allele, True
+        return allele, qual, exact_allele, True, pending
 
     if aligned_start <= variant_pos < aligned_end:
-        return AMB, MISSING_QUAL, False, True
-    return NOV, MISSING_QUAL, False, False
+        return AMB, MISSING_QUAL, False, True, None
+    return NOV, MISSING_QUAL, False, False, None
 
 
 def _sv_deletion_allele(variant: Variant, coordinate_lookup: dict[int, int],

@@ -22,7 +22,7 @@ class BamWriteError(Exception):
 class OrderedBamWriter:
     def __init__(self, sample_name: str, input_bams: list[str],
                  output_bams: list[str], program_version: str = "",
-                 command_line: str = ""):
+                 command_line: str = "", io_threads: int = 4):
         assert len(input_bams) == len(output_bams)
         self.sample_name = sample_name
         self.readers = [BamReader(p) for p in input_bams]
@@ -31,7 +31,8 @@ class OrderedBamWriter:
             header = rd.header.with_pg_line(
                 f"hiphase-tpu-v{program_version}", "hiphase-tpu",
                 program_version, command_line)
-            self.writers.append(BamWriter(out_path, header))
+            self.writers.append(BamWriter(out_path, header,
+                                          io_threads=io_threads))
         self.map_store: dict[int, object] = {}
         self.skip_set: set[int] = set()
         self.current_index = 0

@@ -55,7 +55,7 @@ class OrderedVcfWriter:
     def __init__(self, input_vcfs: list[str], output_vcfs: list[str],
                  min_quality: int, sample_names: list[str],
                  program_version: str = "", command_line: str = "",
-                 csi: bool = False):
+                 csi: bool = False, io_threads: int = 4):
         assert len(input_vcfs) == len(output_vcfs)
         self.input_vcfs = input_vcfs
         self.output_paths = output_vcfs
@@ -89,7 +89,8 @@ class OrderedVcfWriter:
                             'Description="Phase set identifier">')
             header.add_line('##FORMAT=<ID=PF,Number=1,Type=String,'
                             'Description="Phasing flag">')
-            self.writers.append(VcfWriter(out_path, header, csi=csi))
+            self.writers.append(VcfWriter(out_path, header, csi=csi,
+                                          io_threads=io_threads))
 
         self.map_store: dict[int, object] = {}
         self.current_index = 0
