@@ -135,14 +135,15 @@ class BamRecord:
             # H and P consume nothing
 
     def query_sequence(self) -> bytes:
-        out = bytearray(self.l_seq)
-        raw = self.raw
-        off = self._seq_off
-        for i in range(self.l_seq):
-            b = raw[off + (i >> 1)]
-            nib = (b >> 4) if (i & 1) == 0 else (b & 0xF)
-            out[i] = ord(SEQ_NT16[nib])
-        return bytes(out)
+        import numpy as np
+        packed = np.frombuffer(
+            self.raw[self._seq_off:self._seq_off + (self.l_seq + 1) // 2],
+            dtype=np.uint8)
+        nib = np.empty(packed.size * 2, dtype=np.uint8)
+        nib[0::2] = packed >> 4
+        nib[1::2] = packed & 0xF
+        table = np.frombuffer(SEQ_NT16.encode(), dtype=np.uint8)
+        return table[nib[:self.l_seq]].tobytes()
 
     def query_qualities(self) -> bytes:
         return self.raw[self._qual_off:self._qual_off + self.l_seq]

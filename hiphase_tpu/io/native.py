@@ -129,3 +129,47 @@ def edit_distance_batch_native(queries: np.ndarray, query_lens: np.ndarray,
         targets.ctypes.data, tlens.ctypes.data, targets.shape[1],
         n, out.ctypes.data, threads)
     return out
+
+
+def window_alleles(r2q, ref_base, read_seq, read_quals,
+                   aligned_start, aligned_end, pack, skip_flags):
+    """Native anchor-window allele matching for one read.
+    Returns (allele, qual, exact, overlap) uint8 arrays, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_hn_window_sig", False):
+        lib.hn_window_alleles.restype = None
+        lib._hn_window_sig = True
+    n = pack.n
+    out_allele = np.full(n, 3, dtype=np.uint8)
+    out_qual = np.zeros(n, dtype=np.uint8)
+    out_exact = np.zeros(n, dtype=np.uint8)
+    out_overlap = np.zeros(n, dtype=np.uint8)
+    r2q = np.ascontiguousarray(r2q, dtype=np.int64)
+    seq = np.frombuffer(read_seq, dtype=np.uint8)
+    quals = np.frombuffer(read_quals, dtype=np.uint8)
+    skip = np.ascontiguousarray(skip_flags, dtype=np.uint8)
+    lib.hn_window_alleles(
+        ctypes.c_void_p(r2q.ctypes.data), ctypes.c_int64(ref_base),
+        ctypes.c_int64(len(r2q)),
+        ctypes.c_void_p(seq.ctypes.data), ctypes.c_void_p(quals.ctypes.data),
+        ctypes.c_int64(len(seq)),
+        ctypes.c_int64(aligned_start), ctypes.c_int64(aligned_end),
+        ctypes.c_int32(n),
+        ctypes.c_void_p(pack.pos.ctypes.data),
+        ctypes.c_void_p(pack.ref_len.ctypes.data),
+        ctypes.c_void_p(pack.prefix.ctypes.data),
+        ctypes.c_void_p(pack.postfix.ctypes.data),
+        ctypes.c_void_p(skip.ctypes.data),
+        ctypes.c_void_p(pack.blob.ctypes.data),
+        ctypes.c_void_p(pack.a0_off.ctypes.data),
+        ctypes.c_void_p(pack.a0_len.ctypes.data),
+        ctypes.c_void_p(pack.a1_off.ctypes.data),
+        ctypes.c_void_p(pack.a1_len.ctypes.data),
+        ctypes.c_void_p(pack.baseline.ctypes.data),
+        ctypes.c_void_p(out_allele.ctypes.data),
+        ctypes.c_void_p(out_qual.ctypes.data),
+        ctypes.c_void_p(out_exact.ctypes.data),
+        ctypes.c_void_p(out_overlap.ctypes.data))
+    return out_allele, out_qual, out_exact, out_overlap

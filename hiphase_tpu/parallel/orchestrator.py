@@ -24,7 +24,9 @@ from dataclasses import dataclass
 import numpy as np
 
 from hiphase_tpu.phasing.astar import astar_solver
-from hiphase_tpu.phasing.beam import beam_solve_batch, tensorize_block
+from hiphase_tpu.phasing.beam import (
+    assign_slots, beam_solve_batch, tensorize_block,
+)
 from hiphase_tpu.phasing.phaser import BlockData, finalize_block
 from hiphase_tpu.core.variants import AlleleType, VariantType
 from hiphase_tpu.writers.phase_stats import PhaseStats
@@ -33,9 +35,11 @@ logger = logging.getLogger(__name__)
 
 AMB = int(AlleleType.AMBIGUOUS)
 
-# bucket ladders: padded (reads, variants) shapes; beyond the last → host A*
+# bucket ladders: padded (slots, variants) shapes; beyond the last → host A*.
+# The slot axis counts *concurrent* reads (interval-packed), so even
+# megabase blocks stay within a few hundred slots at WGS coverage.
 READ_BUCKETS = (32, 64, 128, 256, 512, 1024)
-VAR_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+VAR_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
 
 def _bucket_of(n: int, ladder: tuple[int, ...]) -> int | None:
@@ -63,6 +67,7 @@ class _Pending:
     alleles: np.ndarray
     quals: np.ndarray
     skip: np.ndarray
+    resets: np.ndarray
 
 
 class BatchedDeviceSolver:
@@ -77,12 +82,21 @@ class BatchedDeviceSolver:
         self.queue_increment = queue_increment
         self._buckets: dict[tuple[int, int], list[_Pending]] = {}
 
+    def _batch_size_for(self, rb: int, vb: int) -> int:
+        """Shrink the batch for big shapes so per-batch device work stays
+        bounded (the jit cache keys on (B, rb, vb, W))."""
+        cells = rb * vb
+        base_cells = 128 * 64
+        return max(1, min(self.batch_size,
+                          self.batch_size * base_cells // max(cells, 1)))
+
     def submit(self, data: BlockData):
         """Queue one prepared block; returns completed results if the
         bucket filled."""
         nv = len(data.variants)
-        nr = len(data.read_segments)
-        rb = _bucket_of(max(nr, 1), READ_BUCKETS)
+        _slots, n_slots = assign_slots(data.read_segments) \
+            if data.read_segments else ([], 1)
+        rb = _bucket_of(n_slots, READ_BUCKETS)
         vb = _bucket_of(nv, VAR_BUCKETS)
         if rb is None or vb is None:
             # giant block: host oracle fallback
@@ -91,11 +105,11 @@ class BatchedDeviceSolver:
                                   self.queue_increment)
             return [finalize_block(data, result.haplotype_1,
                                    result.haplotype_2, result.statistics)]
-        alleles, quals, skip = tensorize_block(
-            data.read_segments, data.variants, rb, vb)
+        alleles, quals, skip, resets = tensorize_block(
+            data.read_segments, data.variants, rb, vb, slotted=True)
         bucket = self._buckets.setdefault((rb, vb), [])
-        bucket.append(_Pending(data, alleles, quals, skip))
-        if len(bucket) >= self.batch_size:
+        bucket.append(_Pending(data, alleles, quals, skip, resets))
+        if len(bucket) >= self._batch_size_for(rb, vb):
             return self._solve_bucket((rb, vb))
         return []
 
@@ -104,14 +118,15 @@ class BatchedDeviceSolver:
         if not pending:
             return []
         rb, vb = key
-        B = self.batch_size
+        B = self._batch_size_for(rb, vb)
         A = np.full((B, rb, vb), 3, dtype=np.uint8)
         Q = np.zeros((B, rb, vb), dtype=np.int32)
         S = np.ones((B, vb), dtype=bool)
+        RS = np.zeros((B, rb, vb), dtype=bool)
         for i, p in enumerate(pending):
-            A[i], Q[i], S[i] = p.alleles, p.quals, p.skip
+            A[i], Q[i], S[i], RS[i] = p.alleles, p.quals, p.skip, p.resets
         h1, h2, cost, _hets, pruned = beam_solve_batch(
-            A, Q, S, beam_width=self.beam_width)
+            A, Q, S, beam_width=self.beam_width, resets=RS)
         h1 = np.asarray(h1)
         h2 = np.asarray(h2)
         cost = np.asarray(cost)

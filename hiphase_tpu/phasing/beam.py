@@ -61,23 +61,41 @@ class BeamResult:
 
 
 def _step(state, inputs, beam_width: int):
-    """One lockstep beam extension over a single variant column."""
-    c1, c2, cost, hets, identical, valid = state
-    # a_j: [B, R] read alleles at this variant; q_j: [B, R] int32 quals
-    a_j, q_j, skip = inputs  # skip: [B] bool — ignored variant or padding
+    """One lockstep beam extension over a single variant column.
+
+    Slot semantics: the R axis indexes read *slots*, not reads. A slot is
+    reused by successive non-overlapping reads; ``reset_j`` marks slots whose
+    previous read has ended — their running min(c1, c2) is folded into the
+    per-node ``frozen`` cost and the slot restarts at zero (the tensorized
+    analog of the reference's frozen/fluid split, ref: astar_phaser.rs:89-108).
+    """
+    c1, c2, frozen, cost, hets, identical, valid = state
+    # a_j: [B, R] slot alleles at this variant; q_j: [B, R] int32 quals
+    a_j, q_j, skip, reset_j = inputs  # skip: [B] bool; reset_j: [B, R] bool
     B, W, R = c1.shape
+
+    # freeze finished reads before evaluating this column
+    fold = jnp.where(reset_j[:, None, :], jnp.minimum(c1, c2), 0)
+    frozen = frozen + jnp.sum(fold, axis=-1, dtype=jnp.int32)  # [B, W]
+    keep = ~reset_j[:, None, :]
+    c1 = jnp.where(keep, c1, 0)
+    c2 = jnp.where(keep, c2, 0)
 
     cand_cost = []
     for c in range(4):
         d1 = jnp.where(a_j != _A1[c], q_j, 0)  # [B, R]; unset alleles have q=0
         d2 = jnp.where(a_j != _A2[c], q_j, 0)
-        total = jnp.sum(
+        total = frozen + jnp.sum(
             jnp.minimum(c1 + d1[:, None, :], c2 + d2[:, None, :]),
             axis=-1, dtype=jnp.int32)  # [B, W]
         cand_cost.append(total)
     cand_cost = jnp.stack(cand_cost, axis=-1)  # [B, W, 4]
     # skipped variants extend with Ambiguous/Ambiguous at unchanged cost
-    cand_cost = jnp.where(skip[:, None, None], cost[:, :, None], cand_cost)
+    # (recomputed from state so slot freezes this step stay consistent)
+    skip_cost = frozen + jnp.sum(jnp.minimum(c1, c2), axis=-1,
+                                 dtype=jnp.int32)
+    cand_cost = jnp.where(skip[:, None, None], skip_cost[:, :, None],
+                          cand_cost)
 
     choice_ids = jax.lax.broadcasted_iota(jnp.int32, (B, W, 4), 2)
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (B, W, 4), 1)
@@ -120,6 +138,7 @@ def _step(state, inputs, beam_width: int):
     bidx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
     pc1 = c1[bidx, sel_parent]  # [B, W, R]
     pc2 = c2[bidx, sel_parent]
+    new_frozen = frozen[bidx, sel_parent]
     sa1 = _choice_a1(sel_choice)  # [B, W]
     sa2 = _choice_a2(sel_choice)
     d1 = jnp.where(a_j[:, None, :] != sa1[:, :, None], q_j[:, None, :], 0)
@@ -131,29 +150,36 @@ def _step(state, inputs, beam_width: int):
     new_cost = cand_cost.reshape(B, W * 4)[bidx, sel_parent * 4 + sel_choice]
     new_hets = cand_hets.reshape(B, W * 4)[bidx, sel_parent * 4 + sel_choice]
 
-    new_state = (new_c1, new_c2, new_cost, new_hets, new_ident, new_valid)
+    new_state = (new_c1, new_c2, new_frozen, new_cost, new_hets, new_ident,
+                 new_valid)
     return new_state, (sel_parent, sel_choice, pruned_now)
 
 
 @functools.partial(jax.jit, static_argnames=("beam_width",))
 def beam_solve_batch(alleles: jax.Array, quals: jax.Array, skip: jax.Array,
-                     beam_width: int = 256):
+                     beam_width: int = 256, resets: jax.Array | None = None):
     """Solve a padded batch of phase blocks.
 
     Args:
-      alleles: [B, R, V] uint8 — 0/1 set, 2 ambiguous, 3 no-overlap (padding
-        reads are all-3 with qual 0).
+      alleles: [B, R, V] uint8 — 0/1 set, 2 ambiguous, 3 no-overlap. The R
+        axis is read *slots*: non-overlapping reads may share a slot when
+        ``resets`` marks the handoff (see tensorize_block).
       quals:   [B, R, V] int32 — flip costs; 0 wherever allele unset.
       skip:    [B, V] bool — true for ignored variants AND padding columns
         (j >= num_variants of the block).
       beam_width: static beam width.
+      resets:  [B, R, V] bool — slot s finishes its previous read before
+        column v (fold min cost into frozen, restart slot). None → no reuse.
 
     Returns (h1, h2, cost, num_hets, pruned) — see BeamResult.
     """
     B, R, V = alleles.shape
     W = beam_width
+    if resets is None:
+        resets = jnp.zeros((B, R, V), dtype=bool)
     c1 = jnp.zeros((B, W, R), dtype=jnp.int32)
     c2 = jnp.zeros((B, W, R), dtype=jnp.int32)
+    frozen = jnp.zeros((B, W), dtype=jnp.int32)
     cost = jnp.zeros((B, W), dtype=jnp.int32)
     hets = jnp.zeros((B, W), dtype=jnp.int32)
     identical = jnp.ones((B, W), dtype=bool)
@@ -161,10 +187,11 @@ def beam_solve_batch(alleles: jax.Array, quals: jax.Array, skip: jax.Array,
 
     xs = (jnp.moveaxis(alleles.astype(jnp.int32), 2, 0),   # [V, B, R]
           jnp.moveaxis(quals.astype(jnp.int32), 2, 0),
-          jnp.moveaxis(skip, 1, 0))                         # [V, B]
+          jnp.moveaxis(skip, 1, 0),                         # [V, B]
+          jnp.moveaxis(resets, 2, 0))                       # [V, B, R]
     step = functools.partial(_step, beam_width=W)
-    (c1, c2, cost, hets, identical, valid), ys = jax.lax.scan(
-        step, (c1, c2, cost, hets, identical, valid), xs)
+    (c1, c2, frozen, cost, hets, identical, valid), ys = jax.lax.scan(
+        step, (c1, c2, frozen, cost, hets, identical, valid), xs)
     parents, choices, pruned_steps = ys  # [V, B, W], [V, B, W], [V, B]
 
     # backtrace from slot 0 (the sorted argmin) to recover the haplotypes
@@ -187,31 +214,87 @@ def beam_solve_batch(alleles: jax.Array, quals: jax.Array, skip: jax.Array,
 
 
 def solve_blocks(alleles: np.ndarray, quals: np.ndarray, skip: np.ndarray,
-                 beam_width: int = 256) -> BeamResult:
+                 beam_width: int = 256,
+                 resets: np.ndarray | None = None) -> BeamResult:
     """Host wrapper: run the jitted batch solver and materialize results."""
     h1, h2, cost, hets, pruned = beam_solve_batch(
         jnp.asarray(alleles), jnp.asarray(quals), jnp.asarray(skip),
-        beam_width=beam_width)
+        beam_width=beam_width,
+        resets=None if resets is None else jnp.asarray(resets))
     return BeamResult(np.asarray(h1), np.asarray(h2), np.asarray(cost),
                       np.asarray(hets), np.asarray(pruned))
 
 
+def assign_slots(read_segments) -> tuple[list[int], int]:
+    """Interval-allocate reads to reusable slots. Returns (slot per read,
+    slot count). Reads ordered by start reuse the slot whose previous
+    occupant ended earliest (long phase blocks have reads spanning only a
+    small variant window, so slots ≪ reads)."""
+    import heapq
+    order = sorted(range(len(read_segments)),
+                   key=lambda i: (read_segments[i].start, read_segments[i].end))
+    slots = [0] * len(read_segments)
+    free: list[tuple[int, int]] = []  # (end, slot)
+    next_slot = 0
+    for i in order:
+        rs = read_segments[i]
+        if free and free[0][0] <= rs.start:
+            _, s = heapq.heappop(free)
+        else:
+            s = next_slot
+            next_slot += 1
+        slots[i] = s
+        heapq.heappush(free, (rs.end, s))
+    return slots, max(next_slot, 1)
+
+
 def tensorize_block(read_segments, variants, num_reads_pad: int,
-                    num_variants_pad: int):
+                    num_variants_pad: int, slotted: bool = False):
     """Pack one block's ReadSegments + Variants into padded arrays for
-    `beam_solve_batch` (alleles [R,V] u8, quals [R,V] i32, skip [V] bool)."""
+    `beam_solve_batch`.
+
+    Dense mode (default): one row per read; returns (alleles [R,V] u8,
+    quals [R,V] i32, skip [V] bool).
+
+    Slotted mode: rows are reusable slots (``num_reads_pad`` must be ≥ the
+    max concurrent reads); additionally returns resets [R,V] bool. This is
+    what makes long blocks linear instead of quadratic on device.
+    """
     R, V = num_reads_pad, num_variants_pad
     nv = len(variants)
-    assert nv <= V and len(read_segments) <= R
+    assert nv <= V
     alleles = np.full((R, V), 3, dtype=np.uint8)
     quals = np.zeros((R, V), dtype=np.int32)
-    for i, rs in enumerate(read_segments):
-        a, q = rs.to_padded(nv)
-        alleles[i, :nv] = a
-        quals[i, :nv] = q
+    resets = np.zeros((R, V), dtype=bool)
+    if slotted:
+        slots, n_slots = assign_slots(read_segments)
+        assert n_slots <= R, (n_slots, R)
+        last_end = {}
+        # iterate in slot-allocation order (by start) so the reset marks the
+        # handoff between the slot's consecutive occupants
+        order = sorted(range(len(read_segments)),
+                       key=lambda i: (read_segments[i].start,
+                                      read_segments[i].end))
+        for i in order:
+            rs = read_segments[i]
+            s = slots[i]
+            span = slice(rs.start, rs.end)
+            alleles[s, span] = rs.alleles
+            quals[s, span] = rs.quals
+            prev = last_end.get(s)
+            if prev is not None:
+                assert prev <= rs.start
+                resets[s, rs.start] = True  # fold before the new read enters
+            last_end[s] = rs.end
+    else:
+        assert len(read_segments) <= R
+        for i, rs in enumerate(read_segments):
+            a, q = rs.to_padded(nv)
+            alleles[i, :nv] = a
+            quals[i, :nv] = q
     skip = np.ones(V, dtype=bool)
     for j, v in enumerate(variants):
         skip[j] = v.is_ignored
     # unset alleles must carry zero qual so they never contribute cost
     quals[(alleles >= 2)] = 0
-    return alleles, quals, skip
+    return (alleles, quals, skip, resets) if slotted else (alleles, quals, skip)

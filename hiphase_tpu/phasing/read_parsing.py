@@ -61,21 +61,42 @@ class GlobalRealignmentConfig:
         self.global_failure_minimum = global_failure_minimum
 
 
-def local_realignment(read: BamRecord, variant_calls: list[Variant]
-                      ) -> tuple[np.ndarray, np.ndarray, ReadStats]:
+def build_r2q(read: BamRecord) -> tuple[np.ndarray, int]:
+    """Vectorized CIGAR walk: r2q[rc - read.pos] = read position of aligned
+    reference coordinate rc, or -1 (the array form of the reference's
+    coordinate_lookup hashmap, ref: read_parsing.rs:136-148)."""
+    base = read.pos
+    span = max(read.reference_end() - base, 1)
+    r2q = np.full(span, -1, dtype=np.int64)
+    qpos = 0
+    rpos = 0
+    for op, length in read.cigar():
+        if op in "M=X":
+            r2q[rpos:rpos + length] = np.arange(qpos, qpos + length)
+            qpos += length
+            rpos += length
+        elif op in "IS":
+            qpos += length
+        elif op in "DN":
+            rpos += length
+    return r2q, base
+
+
+def local_realignment(read: BamRecord, variant_calls: list[Variant],
+                      pack=None) -> tuple[np.ndarray, np.ndarray, ReadStats]:
     """Assign an allele + qual per variant for one read
-    (ref: read_parsing.rs:121-503)."""
+    (ref: read_parsing.rs:121-503). ``pack`` is the per-block VariantPack
+    (built once per block for the native window matcher)."""
+    from hiphase_tpu.io import native as native_mod
+    from hiphase_tpu.phasing.variant_pack import build_variant_pack
+
     num_variants = len(variant_calls)
     stats = ReadStats()
 
-    # ref coordinate -> read coordinate for aligned (M/=/X) bases
-    coordinate_lookup: dict[int, int] = {}
+    r2q, base = build_r2q(read)
+    mapped = np.flatnonzero(r2q >= 0)
     min_position = read.pos
-    max_position = read.pos
-    for qpos, rpos in read.aligned_pairs():
-        coordinate_lookup[rpos] = qpos
-        if rpos > max_position:
-            max_position = rpos
+    max_position = base + int(mapped[-1]) if mapped.size else read.pos
     aligned_end = max_position + 1  # aligned range is [min_position, aligned_end)
 
     read_sequence = read.query_sequence()
@@ -87,40 +108,55 @@ def local_realignment(read: BamRecord, variant_calls: list[Variant]
     overlap_flags = np.zeros(num_variants, dtype=bool)
     pendings: list[tuple[int, bytes, int, int]] = []  # (vi, obs, hc, tc)
     num_overlaps = 0
+
+    if pack is None:
+        pack = build_variant_pack(variant_calls)
+
+    # sequential host pass: ignored variants, SV deletions (they set the
+    # suppression window) and variants inside a detected deletion
+    # (ref: read_parsing.rs:180-194, :354-451)
+    skip_flags = pack.python_only.copy()
     last_deletion_end = 0
-
     for vi, variant in enumerate(variant_calls):
-        variant_pos = variant.position
-        vt = variant.variant_type
-
-        allele = NOV
-        qual = MISSING_QUAL
-        exact_allele = False
-        overlaps_allele = False
-        pending = None
-
         if variant.is_ignored:
-            pass  # stays NoOverlap/0 (ref: read_parsing.rs:180-186)
-        elif variant_pos < last_deletion_end:
-            # inside a detected SV deletion: suppressed (ref: :187-194)
-            allele = AMB
-            overlaps_allele = True
-        elif vt == VariantType.SV_DELETION:
-            allele, qual, exact_allele, overlaps_allele, last_deletion_end = \
-                _sv_deletion_allele(variant, coordinate_lookup, min_position,
-                                    aligned_end, last_deletion_end)
-        else:
+            skip_flags[vi] = True
+            continue
+        if variant.position < last_deletion_end:
+            alleles[vi] = AMB
+            overlap_flags[vi] = True
+            skip_flags[vi] = True
+            continue
+        if variant.variant_type == VariantType.SV_DELETION:
+            (alleles[vi], quals[vi], exact_flags[vi], overlap_flags[vi],
+             last_deletion_end) = _sv_deletion_allele(
+                variant, r2q, base, min_position, aligned_end,
+                last_deletion_end)
+            skip_flags[vi] = True
+
+    native_out = native_mod.window_alleles(
+        r2q, base, read_sequence, read_qualities, min_position, aligned_end,
+        pack, skip_flags)
+    if native_out is not None:
+        na, nq, nx, no = native_out
+        todo = ~skip_flags
+        alleles[todo] = na[todo]
+        quals[todo] = nq[todo]
+        exact_flags[todo] = nx[todo].astype(bool)
+        overlap_flags[todo] = no[todo].astype(bool)
+    else:
+        coordinate_lookup = {base + int(rc): int(r2q[rc]) for rc in mapped}
+        for vi in np.flatnonzero(~skip_flags):
+            variant = variant_calls[vi]
             allele, qual, exact_allele, overlaps_allele, pending = \
                 _window_allele(variant, coordinate_lookup, min_position,
                                aligned_end, read_sequence, read_qualities)
-        if pending is not None:
-            obs, hc, tc = pending
-            pendings.append((vi, obs, hc, tc))
-
-        alleles[vi] = allele
-        quals[vi] = qual
-        exact_flags[vi] = exact_allele
-        overlap_flags[vi] = overlaps_allele
+            if pending is not None:
+                obs, hc, tc = pending
+                pendings.append((vi, obs, hc, tc))
+            alleles[vi] = allele
+            quals[vi] = qual
+            exact_flags[vi] = exact_allele
+            overlap_flags[vi] = overlaps_allele
 
     # one batched edit-distance resolution for all inexact matches of this
     # read (ref per-variant path: variants.rs:624-641; native kernel when
@@ -264,11 +300,15 @@ def _window_allele(variant: Variant, coordinate_lookup: dict[int, int],
     return NOV, MISSING_QUAL, False, False, None
 
 
-def _sv_deletion_allele(variant: Variant, coordinate_lookup: dict[int, int],
+def _sv_deletion_allele(variant: Variant, r2q: np.ndarray, base: int,
                         aligned_start: int, aligned_end: int,
                         last_deletion_end: int):
     """Whole-variant deleted-base counting for SV deletions
     (ref: read_parsing.rs:354-451)."""
+
+    def contains(rc: int) -> bool:
+        return 0 <= rc - base < len(r2q) and r2q[rc - base] >= 0
+
     variant_pos = variant.position
     ref_allele_len = variant.ref_len
     if not (aligned_start <= variant_pos < aligned_end):
@@ -282,22 +322,23 @@ def _sv_deletion_allele(variant: Variant, coordinate_lookup: dict[int, int],
 
     expected_deleted = first_end - last_start
     start_anchor = last_start
-    while start_anchor not in coordinate_lookup:
+    while not contains(start_anchor):
         if start_anchor <= aligned_start:
             logger.warning("Reached start of read without finding start_anchor"
                            ", using POS (%d) instead.", start_anchor)
             break
         start_anchor -= 1
     end_anchor = first_end
-    while end_anchor not in coordinate_lookup:
+    while not contains(end_anchor):
         end_anchor += 1
         if end_anchor >= aligned_end:
             logger.warning("Reached end of read without finding end_anchor, "
                            "using max (%d) found instead.", end_anchor)
             break
 
-    deleted_count = sum(1 for dc in range(start_anchor, end_anchor)
-                        if dc not in coordinate_lookup)
+    lo = max(start_anchor - base, 0)
+    hi = max(end_anchor - base, lo)
+    deleted_count = int(np.count_nonzero(r2q[lo:hi] < 0))
     match_window = 0.33
     deleted_ratio = deleted_count / expected_deleted if expected_deleted else 0.0
     if deleted_ratio < match_window:
@@ -317,8 +358,11 @@ def load_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
                        ) -> tuple[list[ReadSegment], list[ReadSegment], ReadStats]:
     """Local-only loading path (ref: read_parsing.rs:48-114). Returns
     (read_segments for phasing, phasable-but-thin segments, stats)."""
+    from hiphase_tpu.phasing.variant_pack import build_variant_pack
+
     read_groups: dict[str, list[ReadSegment]] = {}
     joint_stats = ReadStats()
+    pack = build_variant_pack(variant_calls)
 
     for bam_path in bam_paths:
         with BamReader(bam_path) as bam:
@@ -326,7 +370,8 @@ def load_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
                                   phase_problem.end + 1):
                 if filter_out_alignment_record(read, min_mapq):
                     continue
-                alleles, quals, read_stats = local_realignment(read, variant_calls)
+                alleles, quals, read_stats = local_realignment(
+                    read, variant_calls, pack)
                 if read_stats.skipped_reads == 0:
                     read_groups.setdefault(read.read_name, []).append(
                         ReadSegment.new(read.read_name, alleles, quals))

@@ -259,3 +259,152 @@ void hn_edit_distance_batch(const uint8_t* a, const int32_t* a_lens,
 int32_t hn_version() { return 1; }
 
 }  // extern "C"
+
+namespace {
+
+int32_t levenshtein(const uint8_t* a, int64_t la, const uint8_t* b,
+                    int64_t lb) {
+  if (la == 0 || lb == 0) return static_cast<int32_t>(la + lb);
+  std::vector<int32_t> row(lb + 1);
+  for (int64_t j = 0; j <= lb; ++j) row[j] = static_cast<int32_t>(j);
+  for (int64_t x = 1; x <= la; ++x) {
+    int32_t diag = row[0];
+    row[0] = static_cast<int32_t>(x);
+    for (int64_t y = 1; y <= lb; ++y) {
+      int32_t sub = diag + (a[x - 1] != b[y - 1]);
+      diag = row[y];
+      row[y] = std::min({sub, diag + 1, row[y - 1] + 1});
+    }
+  }
+  return row[lb];
+}
+
+}  // namespace
+
+extern "C" {
+
+// Anchor-window allele matching for one read across many variants — the
+// native form of the local-realignment inner loop
+// (ref: src/read_parsing.rs:196-353). Variants flagged `skip` (ignored,
+// SV-deletion handled by the caller, or suppressed) are left untouched.
+//
+//   r2q:       [ref_span] read position for each reference coordinate in
+//              [ref_base, ref_base + ref_span), or -1 where unaligned
+//   windows:   per variant: pos, ref_len, prefix_len, postfix_len
+//   allele blobs: concatenated allele bytes with offset/length arrays
+//   out codes: allele (0/1/2/3), qual, exact flag, overlap flag
+void hn_window_alleles(
+    const int64_t* r2q, int64_t ref_base, int64_t ref_span,
+    const uint8_t* read_seq, const uint8_t* read_quals, int64_t read_len,
+    int64_t aligned_start, int64_t aligned_end,
+    int32_t n_variants,
+    const int64_t* var_pos, const int64_t* var_ref_len,
+    const int64_t* var_prefix, const int64_t* var_postfix,
+    const uint8_t* skip_flags,
+    const uint8_t* allele_blob,
+    const int64_t* a0_off, const int64_t* a0_len,
+    const int64_t* a1_off, const int64_t* a1_len,
+    const int32_t* baseline_qual,
+    uint8_t* out_allele, uint8_t* out_qual, uint8_t* out_exact,
+    uint8_t* out_overlap) {
+  auto lookup = [&](int64_t rc) -> int64_t {
+    if (rc < ref_base || rc >= ref_base + ref_span) return -1;
+    return r2q[rc - ref_base];
+  };
+  (void)read_len;
+  for (int32_t vi = 0; vi < n_variants; ++vi) {
+    if (skip_flags[vi]) continue;
+    int64_t pos = var_pos[vi];
+    int64_t ref_len = var_ref_len[vi];
+    int64_t prefix_len = var_prefix[vi];
+    int64_t postfix_len = var_postfix[vi];
+    int64_t first_start = pos - prefix_len;
+    int64_t last_start = pos + 1;
+    int64_t first_end = pos + ref_len;
+    int64_t last_end = first_end + postfix_len + 1;
+
+    int64_t closest_start = -1, closest_end = -1;
+    for (int64_t sc = last_start - 1; sc >= first_start; --sc) {
+      int64_t si = lookup(sc);
+      if (si >= 0) { closest_start = si; break; }
+    }
+    for (int64_t ec = first_end; ec < last_end; ++ec) {
+      int64_t ei = lookup(ec);
+      if (ei >= 0) { closest_end = ei; break; }
+    }
+
+    int64_t start_coordinate = -1, end_coordinate = -1;
+    int64_t start_clip = 0, end_clip = 0;
+    if (closest_start >= 0 && closest_end >= 0) {
+      for (int64_t sc = first_start; sc < last_start; ++sc) {
+        ++start_clip;
+        int64_t si = lookup(sc);
+        if (si < 0) continue;
+        if (closest_start - si > 2 * prefix_len) continue;
+        start_coordinate = si;
+        for (int64_t ec = last_end - 1; ec >= first_end; --ec) {
+          ++end_clip;
+          int64_t ei = lookup(ec);
+          if (ei < 0) continue;
+          if (ei - closest_end > 2 * postfix_len) continue;
+          end_coordinate = ei;
+          break;
+        }
+        break;
+      }
+    }
+
+    if (start_coordinate >= 0 && end_coordinate >= 0) {
+      int64_t ss = start_coordinate, se = end_coordinate;
+      const uint8_t* obs = read_seq + ss;
+      int64_t obs_len = se - ss;
+      const uint8_t* a0 = allele_blob + a0_off[vi];
+      const uint8_t* a1 = allele_blob + a1_off[vi];
+      int64_t l0 = a0_len[vi], l1 = a1_len[vi];
+      uint8_t allele;
+      uint8_t exact = 0;
+      if (obs_len == l0 && std::memcmp(obs, a0, l0) == 0) {
+        allele = 0;
+        exact = 1;
+      } else if (obs_len == l1 && std::memcmp(obs, a1, l1) == 0) {
+        allele = 1;
+        exact = 1;
+      } else {
+        int64_t hc = start_clip - 1, tc = end_clip - 1;
+        int32_t d0 = levenshtein(obs, obs_len, a0 + hc, l0 - hc - tc);
+        int32_t d1 = levenshtein(obs, obs_len, a1 + hc, l1 - hc - tc);
+        allele = d0 < d1 ? 0 : (d1 < d0 ? 1 : 2);
+      }
+      // harmonic-mean base-quality scaling capped at 40
+      double qual_factor = 1.0;
+      if (obs_len > 0) {
+        double denom = 0.0;
+        bool zero_q = false;
+        for (int64_t k = 0; k < obs_len; ++k) {
+          uint8_t q = read_quals[ss + k];
+          if (q == 0) { zero_q = true; break; }
+          denom += 1.0 / q;
+        }
+        double harmonic = zero_q ? 0.0 : obs_len / denom;
+        qual_factor = std::min(harmonic / 40.0, 1.0);
+      }
+      double q = baseline_qual[vi] * qual_factor;
+      out_qual[vi] = static_cast<uint8_t>(q < 1.0 ? 1.0 : q);
+      out_allele[vi] = allele;
+      out_exact[vi] = exact;
+      out_overlap[vi] = 1;
+    } else if (aligned_start <= pos && pos < aligned_end) {
+      out_allele[vi] = 2;
+      out_qual[vi] = 0;
+      out_exact[vi] = 0;
+      out_overlap[vi] = 1;
+    } else {
+      out_allele[vi] = 3;
+      out_qual[vi] = 0;
+      out_exact[vi] = 0;
+      out_overlap[vi] = 0;
+    }
+  }
+}
+
+}  // extern "C"

@@ -180,3 +180,50 @@ def test_hom_conversion():
     assert result.statistics.homozygous_variants >= 1
     bh1, bh2, bcost, _ = run_beam_single(variants, reads)
     assert bh1 == result.haplotype_1 and bh2 == result.haplotype_2
+
+
+def test_slotted_matches_dense():
+    """Slot-packed tensorization (frozen/fluid fold) must give identical
+    results to one-row-per-read dense mode."""
+    from hiphase_tpu.phasing.beam import assign_slots
+    rng = np.random.default_rng(77)
+    for seed in range(4):
+        rng = np.random.default_rng(200 + seed)
+        variants, reads, _, _ = make_block(rng, 24, 30, flip_prob=0.12,
+                                           amb_prob=0.05, window=8)
+        dense = tensorize_block(reads, variants, 32, 24)
+        r_dense = solve_blocks(dense[0][None], dense[1][None], dense[2][None],
+                               beam_width=64)
+        _slots, n_slots = assign_slots(reads)
+        assert n_slots < len(reads), "windowed reads must share slots"
+        rb = 16 if n_slots <= 16 else 32
+        al, qu, sk, rs = tensorize_block(reads, variants, rb, 24, slotted=True)
+        r_slot = solve_blocks(al[None], qu[None], sk[None], beam_width=64,
+                              resets=rs[None])
+        assert int(r_slot.cost[0]) == int(r_dense.cost[0])
+        assert list(r_slot.h1[0]) == list(r_dense.h1[0])
+        assert list(r_slot.h2[0]) == list(r_dense.h2[0])
+
+
+def test_slotted_with_ignored_and_reset_collision():
+    """Resets landing on ignored columns must stay consistent."""
+    from hiphase_tpu.phasing.beam import assign_slots
+    rng = np.random.default_rng(300)
+    variants, reads, _, _ = make_block(rng, 16, 20, flip_prob=0.1, window=5)
+    variants[8].set_ignored()
+    cleared = []
+    for r in reads:
+        a, q = r.to_padded(16)
+        a[8] = 3
+        q[8] = 0
+        cleared.append(ReadSegment.new(r.read_name, a, q))
+    cleared = [r for r in cleared if r.get_num_set() > 0]
+    dense = tensorize_block(cleared, variants, 32, 16)
+    r_dense = solve_blocks(dense[0][None], dense[1][None], dense[2][None],
+                           beam_width=64)
+    _s, n_slots = assign_slots(cleared)
+    al, qu, sk, rs = tensorize_block(cleared, variants, 16, 16, slotted=True)
+    r_slot = solve_blocks(al[None], qu[None], sk[None], beam_width=64,
+                          resets=rs[None])
+    assert int(r_slot.cost[0]) == int(r_dense.cost[0])
+    assert list(r_slot.h1[0]) == list(r_dense.h1[0])
