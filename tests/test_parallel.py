@@ -43,3 +43,21 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     dryrun_multichip(8)
+
+
+def test_multihost_block_sharding():
+    """Deterministic round-robin host sharding covers every block once."""
+    from hiphase_tpu.parallel.multihost import blocks_for_host, shard_block_stream
+
+    class B:
+        def __init__(self, i):
+            self.block_index = i
+
+    blocks = [B(i) for i in range(17)]
+    n_hosts = 4
+    seen = []
+    for h in range(n_hosts):
+        mine = list(shard_block_stream(iter(blocks), n_hosts, h))
+        seen.extend(b.block_index for b in mine)
+        assert all(blocks_for_host(b.block_index, n_hosts, h) for b in mine)
+    assert sorted(seen) == list(range(17))
