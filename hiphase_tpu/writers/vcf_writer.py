@@ -12,7 +12,9 @@ from __future__ import annotations
 import logging
 
 from hiphase_tpu.core.variants import UNDETERMINED_ALLELE
-from hiphase_tpu.io.vcf import VcfHeader, VcfReader, VcfRecord, VcfWriter
+from collections import deque
+
+from hiphase_tpu.io.vcf import MISSING, VcfHeader, VcfReader, VcfRecord, VcfWriter
 from hiphase_tpu.phasing.block_gen import is_phasable_variant
 
 logger = logging.getLogger(__name__)
@@ -49,6 +51,76 @@ def strip_record_phasing(record: VcfRecord) -> None:
                 f"{record.pos0 + 1}")
 
 
+def _unphase_sort_gt(gt: bytes) -> bytes:
+    """Unphase and sort one GT value (missing first), single pass."""
+    if b"|" in gt:
+        parts = gt.replace(b"|", b"/").split(b"/")
+    else:
+        parts = gt.split(b"/")
+    if len(parts) == 1:
+        return parts[0]
+    if len(parts) != 2:
+        raise VcfWriteError(f"Encountered GT of length {len(parts)}")
+    a, b = parts
+    ka = -1 if a in (b".", b"") else int(a)
+    kb = -1 if b in (b".", b"") else int(b)
+    if kb < ka:
+        a, b = b, a
+    return a + b"/" + b
+
+
+def transform_record(record: VcfRecord, phased: dict[int, tuple[int, int, int]],
+                     flagged: dict[int, bytes]) -> None:
+    """Fused strip + rewrite: one split/join per sample column.
+
+    Equivalent to strip_record_phasing + per-sample set_genotype/PS/PF
+    (ref: ordered_vcf_writer.rs:291-434), but single-pass for throughput.
+    """
+    keys = record.fields[8].split(b":") if len(record.fields) > 8 else []
+    drop = [i for i, k in enumerate(keys) if k in (b"PS", b"PF")]
+    new_keys = [k for k in keys if k not in (b"PS", b"PF")]
+    try:
+        gt_idx = new_keys.index(b"GT")
+    except ValueError:
+        raise VcfWriteError("record has no GT FORMAT field")
+    add_ps = bool(phased)
+    add_pf = bool(flagged)
+    if add_ps:
+        new_keys.append(b"PS")
+    if add_pf:
+        new_keys.append(b"PF")
+    record.fields[8] = b":".join(new_keys)
+    n_base = len(new_keys) - add_ps - add_pf
+
+    for si in range(len(record.fields) - 9):
+        vals = record.fields[9 + si].split(b":")
+        if drop:
+            vals = [v for i, v in enumerate(vals) if i not in drop]
+        if gt_idx < len(vals):
+            if not vals[gt_idx]:
+                raise VcfWriteError(
+                    f"Encountered empty genotype record at position "
+                    f"{record.pos0}")
+            upd = phased.get(si)
+            if upd is not None:
+                h1, h2, _block = upd
+                vals[gt_idx] = b"%d|%d" % (h1, h2)
+            else:
+                vals[gt_idx] = _unphase_sort_gt(vals[gt_idx])
+        if add_ps or add_pf:
+            # pad trailing-dropped fields only when appending new tags
+            # (matches the incremental set_sample_field behavior)
+            while len(vals) < n_base:
+                vals.append(MISSING)
+        if add_ps:
+            upd = phased.get(si)
+            vals.append(str(upd[2]).encode() if upd is not None else MISSING)
+        if add_pf:
+            vals.append(flagged.get(si, MISSING))
+        record.fields[9 + si] = b":".join(vals)
+    record._fmt_cache = None
+
+
 class OrderedVcfWriter:
     """In-order merge of out-of-order phase results into output VCFs."""
 
@@ -74,7 +146,7 @@ class OrderedVcfWriter:
                     raise VcfWriteError(
                         f"Sample name {s!r} was not found in VCF: {path}")
                 lookup[s] = rd.samples.index(s)
-                queues[s] = []
+                queues[s] = deque()
             self.sample_indices.append(lookup)
             self.phase_queues.append(queues)
 
@@ -169,13 +241,9 @@ class OrderedVcfWriter:
                     continue  # long indel overlapping a previous window
                 if record_pos > final_position:
                     break
-                strip_record_phasing(record)
-
                 vcf_sample_indices = self.sample_indices[vcf_index]
-                changes_made = False
-                flagged_variants = False
-                ps_values: dict[int, bytes] = {}
-                pf_values: dict[int, bytes] = {}
+                phased: dict[int, tuple[int, int, int]] = {}
+                flagged: dict[int, bytes] = {}
 
                 for sample_name, sample_index in vcf_sample_indices.items():
                     if not is_phasable_variant(record, sample_index,
@@ -186,26 +254,16 @@ class OrderedVcfWriter:
                         raise VcfWriteError(
                             "Variant requested from empty queue during VCF "
                             "writing")
-                    h1, h2, block_id = queue.pop(0)
+                    h1, h2, block_id = queue.popleft()
                     if h1 == h2:
                         # hom conversion is not written through; flag only
                         # intentionally-ignored variants (TR overlap)
                         if h1 == UNDETERMINED_ALLELE:
-                            pf_values[sample_index] = b"TR_OVERLAP"
-                            flagged_variants = True
+                            flagged[sample_index] = b"TR_OVERLAP"
                     else:
-                        record.set_genotype(sample_index, [h1, h2], phased=True)
-                        ps_values[sample_index] = str(block_id).encode()
-                        changes_made = True
+                        phased[sample_index] = (h1, h2, block_id)
 
-                if changes_made:
-                    for si in range(len(reader.samples)):
-                        record.set_sample_field(si, "PS",
-                                                ps_values.get(si, b"."))
-                if flagged_variants:
-                    for si in range(len(reader.samples)):
-                        record.set_sample_field(si, "PF",
-                                                pf_values.get(si, b"."))
+                transform_record(record, phased, flagged)
                 writer.write(record)
         self.current_pos = (final_position if final_position == U64_MAX
                             else final_position + 1)
