@@ -12,7 +12,7 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass
 
-from hiphase_tpu.io.bgzf import BgzfReader, BgzfWriter
+from hiphase_tpu.io.bgzf import BgzfReader
 
 BAM_MAGIC = b"BAM\x01"
 BAI_MAGIC = b"BAI\x01"

@@ -14,7 +14,6 @@ from hiphase_tpu.io.bgzf import BgzfReader, BgzfWriter
 TBI_MAGIC = b"TBI\x01"
 CSI_MAGIC = b"CSI\x01"
 
-_PSEUDO_BIN_TBI = 37450
 
 
 def _reg2bin(beg: int, end: int, min_shift: int = 14, depth: int = 5) -> int:

@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from hiphase_tpu.io.bgzf import BgzfReader, BgzfWriter, is_bgzf
+from hiphase_tpu.io.bgzf import BgzfReader, is_bgzf
 from hiphase_tpu.io.tabix import TabixBuilder, TabixIndex
 
 MISSING = b"."

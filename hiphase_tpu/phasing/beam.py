@@ -29,9 +29,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Plain Python int: a jnp scalar here would live on the default device (the
-# tunneled TPU in this environment) and every lowering would fetch it back.
-BIG = 2**30
+# Invalid-candidate sentinel for ranking keys. Plain Python int (a jnp
+# scalar here would live on the default device — the tunneled TPU in this
+# environment — and every lowering would fetch it back). Must exceed any
+# legitimate block cost: the slotted worst case is
+# 1024 slots x 8192 variants x qual 160 ~= 1.34e9, so sit just under the
+# int32 ceiling.
+BIG = 2_147_000_000
 
 # Extension order: 0|1, 1|0, 0/0, 1/1 (ref: astar_phaser.rs:535-540).
 # Encoded arithmetically so no constant tables are embedded in the program:
