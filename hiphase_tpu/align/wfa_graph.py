@@ -179,6 +179,37 @@ class WFAGraph:
 
     def edit_distance_with_pruning(self, other_sequence: bytes,
                                    prune_distance: int) -> WFAResult:
+        """Edit-distance WFA over the graph (native C++ kernel when built;
+        the pure-Python implementation below is the fallback and spec)."""
+        from hiphase_tpu.io import native
+        import numpy as np
+
+        if native.available():
+            node_off = np.zeros(self.num_nodes + 1, dtype=np.int64)
+            for i, s in enumerate(self.sequences):
+                node_off[i + 1] = node_off[i] + len(s)
+            node_blob = np.frombuffer(b"".join(self.sequences), dtype=np.uint8) \
+                if node_off[-1] else np.zeros(1, dtype=np.uint8)
+            edge_off = np.zeros(self.num_nodes + 1, dtype=np.int64)
+            for i, e in enumerate(self.edges):
+                edge_off[i + 1] = edge_off[i] + len(e)
+            edge_dst = np.fromiter(
+                (d for e in self.edges for d in e), dtype=np.int32,
+                count=int(edge_off[-1]))
+            out = native.wfa_align(node_blob, node_off, edge_dst, edge_off,
+                                   other_sequence,
+                                   min(prune_distance, USIZE_MAX),
+                                   min(self.max_edit_distance, USIZE_MAX))
+            if out is not None:
+                score, traversed = out
+                if score < 0:
+                    raise WFAGraphError(self.max_edit_distance)
+                return WFAResult(score, [int(i) for i in
+                                         np.flatnonzero(traversed)])
+        return self._edit_distance_python(other_sequence, prune_distance)
+
+    def _edit_distance_python(self, other_sequence: bytes,
+                              prune_distance: int) -> WFAResult:
         """Edit-distance WFA over the graph with traversal-set tracking.
 
         Wavefronts are per (node, diagonal ``other_start``); greedy match

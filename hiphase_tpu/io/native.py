@@ -173,3 +173,34 @@ def window_alleles(r2q, ref_base, read_seq, read_quals,
         ctypes.c_void_p(out_exact.ctypes.data),
         ctypes.c_void_p(out_overlap.ctypes.data))
     return out_allele, out_qual, out_exact, out_overlap
+
+
+def wfa_align(node_blob, node_off, edge_dst, edge_off, read,
+              prune_distance, max_edit_distance):
+    """Native graph-WFA alignment. Returns (score, traversed mask) or None
+    when the library is unavailable. score == -1 means max-ED exceeded."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_hn_wfa_sig", False):
+        lib.hn_wfa_align.restype = ctypes.c_int64
+        lib._hn_wfa_sig = True
+    n_nodes = len(node_off) - 1
+    node_blob = np.ascontiguousarray(node_blob, dtype=np.uint8)
+    node_off = np.ascontiguousarray(node_off, dtype=np.int64)
+    edge_dst = np.ascontiguousarray(edge_dst, dtype=np.int32)
+    edge_off = np.ascontiguousarray(edge_off, dtype=np.int64)
+    read_arr = np.frombuffer(bytes(read), dtype=np.uint8)
+    traversed = np.zeros(n_nodes, dtype=np.uint8)
+    score = lib.hn_wfa_align(
+        ctypes.c_void_p(node_blob.ctypes.data),
+        ctypes.c_void_p(node_off.ctypes.data),
+        ctypes.c_int32(n_nodes),
+        ctypes.c_void_p(edge_dst.ctypes.data),
+        ctypes.c_void_p(edge_off.ctypes.data),
+        ctypes.c_void_p(read_arr.ctypes.data),
+        ctypes.c_int64(len(read_arr)),
+        ctypes.c_int64(prune_distance),
+        ctypes.c_int64(max_edit_distance),
+        ctypes.c_void_p(traversed.ctypes.data))
+    return int(score), traversed

@@ -52,19 +52,16 @@ def global_realignment(phase_problem: PhaseBlock, read: BamRecord,
                        wfa_prune_distance: int, global_max_edit_distance: int
                        ) -> tuple[np.ndarray, np.ndarray, ReadStats, int]:
     """(ref: read_parsing.rs:652-867). Raises WFAGraphError on max-ED."""
+    from hiphase_tpu.phasing.read_parsing import build_r2q
+
     num_variants = len(variant_calls)
     stats = ReadStats()
 
-    coordinate_lookup: dict[int, int] = {}
-    min_position = USIZE_MAX
-    max_position = -1
-    for qpos, rpos in read.aligned_pairs():
-        coordinate_lookup[rpos] = qpos
-        if rpos < min_position:
-            min_position = rpos
-        if rpos > max_position:
-            max_position = rpos
-    assert max_position >= min_position
+    r2q, base = build_r2q(read)
+    mapped = np.flatnonzero(r2q >= 0)
+    assert mapped.size > 0
+    min_position = base + int(mapped[0])
+    max_position = base + int(mapped[-1])
 
     first_overlap = None
     last_overlap = 0
@@ -91,8 +88,8 @@ def global_realignment(phase_problem: PhaseBlock, read: BamRecord,
         first_hom_overlap = 0
 
     read_sequence = read.query_sequence()
-    read_start = coordinate_lookup[min_position]
-    read_end = coordinate_lookup[max_position]
+    read_start = int(r2q[min_position - base])
+    read_end = int(r2q[max_position - base])
     read_align = read_sequence[read_start:read_end + 1]
 
     chrom_seq = reference_genome.get_full_chromosome(phase_problem.chrom)

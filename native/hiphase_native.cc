@@ -17,6 +17,8 @@
 #include <cstdint>
 #include <cstring>
 #include <thread>
+#include <unordered_map>
+#include <utility>
 #include <vector>
 
 #include <zlib.h>
@@ -404,6 +406,186 @@ void hn_window_alleles(
       out_exact[vi] = 0;
       out_overlap[vi] = 0;
     }
+  }
+}
+
+}  // extern "C"
+
+namespace {
+
+// Traversal-set interning for the graph WFA: sets are dynamic bitsets over
+// graph nodes, stored as word vectors and deduplicated by content.
+struct SetPool {
+  std::vector<std::vector<uint64_t>> sets;
+  struct VecHash {
+    size_t operator()(const std::vector<uint64_t>& v) const {
+      size_t h = v.size();
+      for (uint64_t x : v) h ^= x + 0x9e3779b97f4a7c15ULL + (h << 6) + (h >> 2);
+      return h;
+    }
+  };
+  std::unordered_map<std::vector<uint64_t>, int, VecHash> index;
+
+  int intern(std::vector<uint64_t> v) {
+    auto it = index.find(v);
+    if (it != index.end()) return it->second;
+    int id = static_cast<int>(sets.size());
+    sets.push_back(v);
+    index.emplace(std::move(v), id);
+    return id;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Graph-WFA edit distance with pruning (the native form of
+// align/wfa_graph.py::edit_distance_with_pruning; ref: wfa_graph.rs:350-650).
+//
+//   node_off:  [n_nodes+1] offsets into node_blob (node sequences)
+//   edge_off:  [n_nodes+1] offsets into edge_dst (successor lists)
+//   read:      the aligned read subsequence
+//   traversed: [n_nodes] out — 1 where the best paths traverse the node
+// Returns the edit distance, or -1 when max_edit_distance is exceeded.
+int64_t hn_wfa_align(const uint8_t* node_blob, const int64_t* node_off,
+                     int32_t n_nodes, const int32_t* edge_dst,
+                     const int64_t* edge_off, const uint8_t* read,
+                     int64_t read_len, int64_t prune_distance,
+                     int64_t max_edit_distance, uint8_t* traversed) {
+  using Wave = std::pair<int64_t, int>;  // (offset into node seq, set index)
+  using Front = std::unordered_map<int64_t, std::vector<Wave>>;
+
+  const size_t words = (n_nodes + 63) / 64;
+  SetPool pool;
+  {
+    std::vector<uint64_t> root(words, 0);
+    root[0] |= 1ULL;
+    pool.intern(std::move(root));  // set 0 = {node 0}
+  }
+
+  std::vector<Front> active(n_nodes), next(n_nodes);
+  std::vector<char> active_any(n_nodes, 0), next_any(n_nodes, 0);
+  std::vector<std::unordered_map<int64_t, int64_t>> maxfront(n_nodes);
+  active[0][0].push_back({0, 0});
+  active_any[0] = 1;
+
+  int64_t edit_distance = 0;
+  int64_t farthest = 0;
+  int64_t min_progression = 0;
+
+  for (;;) {
+    for (int32_t ni = 0; ni < n_nodes; ++ni) {
+      if (!active_any[ni]) continue;
+      active_any[ni] = 0;
+      Front wavefront;
+      wavefront.swap(active[ni]);
+      const uint8_t* seq = node_blob + node_off[ni];
+      const int64_t node_len = node_off[ni + 1] - node_off[ni];
+      auto& mf = maxfront[ni];
+
+      for (auto& kv : wavefront) {
+        const int64_t other_start = kv.first;
+        auto& waves = kv.second;
+        int64_t max_offset = 0;
+        for (auto& w : waves) {
+          int64_t off = w.first;
+          int64_t opos = other_start + off;
+          while (off < node_len && opos < read_len && seq[off] == read[opos]) {
+            ++off;
+            ++opos;
+          }
+          w.first = off;
+          if (off > max_offset) max_offset = off;
+        }
+        auto mit = mf.find(other_start);
+        int64_t prev_best = (mit == mf.end()) ? 0 : mit->second;
+        if (max_offset < prev_best ||
+            other_start + max_offset < min_progression) {
+          continue;  // dominated or pruned
+        }
+        mf[other_start] = max_offset;
+        int64_t progression = other_start + max_offset;
+        if (progression > farthest) farthest = progression;
+
+        // union the traversal sets of all ties at the best offset
+        int best_set = -1;
+        std::vector<uint64_t> uni;
+        int count = 0;
+        for (auto& w : waves) {
+          if (w.first != max_offset) continue;
+          if (count == 0) {
+            best_set = w.second;
+          } else {
+            if (count == 1) uni = pool.sets[best_set];
+            const auto& other = pool.sets[w.second];
+            for (size_t k = 0; k < words; ++k) uni[k] |= other[k];
+          }
+          ++count;
+        }
+        if (count > 1) best_set = pool.intern(std::move(uni));
+
+        if (max_offset == node_len) {
+          if (ni == n_nodes - 1) {
+            if (other_start + max_offset < read_len) {
+              next[ni][other_start + 1].push_back({max_offset, best_set});
+              next_any[ni] = 1;
+            }
+          } else {
+            int64_t new_offset = other_start + max_offset;
+            for (int64_t e = edge_off[ni]; e < edge_off[ni + 1]; ++e) {
+              int32_t succ = edge_dst[e];
+              std::vector<uint64_t> ns = pool.sets[best_set];
+              ns[succ / 64] |= 1ULL << (succ % 64);
+              int nsi = pool.intern(std::move(ns));
+              active[succ][new_offset].push_back({0, nsi});
+              active_any[succ] = 1;
+            }
+          }
+        } else {
+          auto& nf = next[ni];
+          nf[other_start - 1].push_back({max_offset + 1, best_set});
+          next_any[ni] = 1;
+          if (other_start + max_offset < read_len) {
+            nf[other_start].push_back({max_offset + 1, best_set});
+            nf[other_start + 1].push_back({max_offset, best_set});
+          }
+        }
+      }
+
+      if (ni == n_nodes - 1) {
+        // final check over the post-extension wavefront
+        std::vector<int> finals;
+        for (auto& kv : wavefront) {
+          for (auto& w : kv.second) {
+            if (w.first == node_len && kv.first + w.first == read_len) {
+              finals.push_back(w.second);
+            }
+          }
+        }
+        if (!finals.empty()) {
+          std::vector<uint64_t> uni(words, 0);
+          for (int s : finals) {
+            const auto& v = pool.sets[s];
+            for (size_t k = 0; k < words; ++k) uni[k] |= v[k];
+          }
+          for (int32_t i = 0; i < n_nodes; ++i) {
+            traversed[i] = (uni[i / 64] >> (i % 64)) & 1;
+          }
+          return edit_distance;
+        }
+      }
+    }
+
+    ++edit_distance;
+    active.swap(next);
+    active_any.swap(next_any);
+    for (int32_t i = 0; i < n_nodes; ++i) {
+      next[i].clear();
+      next_any[i] = 0;
+    }
+    if (farthest > prune_distance) min_progression = farthest - prune_distance;
+    if (edit_distance > max_edit_distance) return -1;
   }
 }
 

@@ -239,3 +239,46 @@ def test_pruning_still_finds_exact():
     obs[17] = ord("G")
     r = g.edit_distance_with_pruning(bytes(obs), 5)
     assert r.score == 0
+
+
+def test_native_matches_python_wfa():
+    """The C++ WFA must reproduce the Python implementation (score AND
+    traversal sets) on randomized variant graphs and reads."""
+    import numpy as np
+    from hiphase_tpu.io import native
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    for trial in range(30):
+        n = int(rng.integers(2, 8))
+        length = 40 + n * 12
+        ref = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
+                         size=length).astype(np.uint8).tobytes()
+        variants = []
+        pos = 5
+        while pos < length - 12 and len(variants) < n:
+            kind = rng.choice(["snv", "ins", "del"])
+            if kind == "snv":
+                alt = bytes([rng.choice([b for b in b"ACGT"
+                                         if b != ref[pos]])])
+                variants.append(Variant.new_snv(0, pos, ref[pos:pos+1], alt, 0, 1))
+            elif kind == "ins":
+                ins = rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                                 size=int(rng.integers(1, 4))).astype(np.uint8).tobytes()
+                variants.append(Variant.new_insertion(
+                    0, pos, ref[pos:pos+1], ref[pos:pos+1] + ins, 0, 1))
+            else:
+                d = int(rng.integers(1, 4))
+                variants.append(Variant.new_deletion(
+                    0, pos, 1 + d, ref[pos:pos+1+d], ref[pos:pos+1], 0, 1))
+            pos += int(rng.integers(6, 14))
+        g, _ = WFAGraph.from_reference_variants(ref, variants, 0, length, 1000)
+        # random read: mutate the reference a bit
+        obs = bytearray(ref)
+        for j in rng.choice(length, size=int(rng.integers(0, 4)), replace=False):
+            obs[j] = rng.choice(np.frombuffer(b"ACGT", np.uint8))
+        obs = bytes(obs)
+        r_py = g._edit_distance_python(obs, 10**9)
+        r_nat = g.edit_distance(obs)
+        assert r_nat.score == r_py.score, trial
+        assert r_nat.traversed_nodes == r_py.traversed_nodes, trial
