@@ -86,7 +86,79 @@ class WFAGraph:
                                          max_edit_distance: int = 1000):
         """Build the window graph. Returns (graph, node_to_alleles) where
         node_to_alleles maps node index → [(variant_index, allele 0|1)].
-        Hom variants get branch nodes but no allele mapping."""
+        Hom variants get branch nodes but no allele mapping.
+
+        Routed through the native C++ builder when available (the Python
+        body below is the spec/fallback)."""
+        from hiphase_tpu.io import native
+        import numpy as np
+
+        if native.available():
+            all_variants = [(v, i) for i, v in enumerate(variants)
+                            if not v.is_ignored] + \
+                           [(v, -1) for v in hom_variants if not v.is_ignored]
+            all_variants.sort(key=lambda t: t[0].position)
+            n = len(all_variants)
+            var_pos = np.fromiter((v.position for v, _ in all_variants),
+                                  np.int64, n)
+            var_ref_len = np.fromiter((v.ref_len for v, _ in all_variants),
+                                      np.int64, n)
+            var_index = np.fromiter((i for _, i in all_variants), np.int32, n)
+            a0_is_alt = np.fromiter((v.index_allele0 != 0
+                                     for v, _ in all_variants), np.uint8, n)
+            chunks = []
+            a0_off = np.zeros(n, np.int64)
+            a0_len = np.zeros(n, np.int64)
+            a1_off = np.zeros(n, np.int64)
+            a1_len = np.zeros(n, np.int64)
+            off = 0
+            for k, (v, _) in enumerate(all_variants):
+                t0 = v.get_truncated_allele0()
+                t1 = v.get_truncated_allele1()
+                a0_off[k] = off
+                a0_len[k] = len(t0)
+                chunks.append(t0)
+                off += len(t0)
+                a1_off[k] = off
+                a1_len[k] = len(t1)
+                chunks.append(t1)
+                off += len(t1)
+            a_blob = np.frombuffer(b"".join(chunks), np.uint8) if off else \
+                np.zeros(1, np.uint8)
+            out = native.wfa_build(reference, ref_start, ref_end, var_pos,
+                                   var_ref_len, var_index, a0_is_alt, a_blob,
+                                   a0_off, a0_len, a1_off, a1_len)
+            if out is not None:
+                node_off, node_blob, edge_off, edge_dst, alleles = out
+                graph = cls(max_edit_distance)
+                n_nodes = len(node_off) - 1
+                blob = node_blob.tobytes()
+                graph.sequences = [blob[node_off[i]:node_off[i + 1]]
+                                   for i in range(n_nodes)]
+                graph.edges = [
+                    [int(d) for d in edge_dst[edge_off[i]:edge_off[i + 1]]]
+                    for i in range(n_nodes)]
+                graph.parents = [[] for _ in range(n_nodes)]
+                for p in range(n_nodes):
+                    for c in graph.edges[p]:
+                        graph.parents[c].append(p)
+                node_to_alleles: dict[int, list[tuple[int, int]]] = {}
+                an, av, aa = alleles
+                for k in range(len(an)):
+                    node_to_alleles.setdefault(int(an[k]), []).append(
+                        (int(av[k]), int(aa[k])))
+                return graph, node_to_alleles
+        return cls._from_reference_variants_python(
+            reference, variants, hom_variants, ref_start, ref_end,
+            max_edit_distance)
+
+    @classmethod
+    def _from_reference_variants_python(cls, reference: bytes,
+                                        variants: list[Variant],
+                                        hom_variants: list[Variant],
+                                        ref_start: int, ref_end: int,
+                                        max_edit_distance: int = 1000):
+        """Python spec for the window-graph construction."""
         graph = cls(max_edit_distance)
         node_to_alleles: dict[int, list[tuple[int, int]]] = {}
 

@@ -204,3 +204,56 @@ def wfa_align(node_blob, node_off, edge_dst, edge_off, read,
         ctypes.c_int64(max_edit_distance),
         ctypes.c_void_p(traversed.ctypes.data))
     return int(score), traversed
+
+
+def wfa_build(reference, ref_start, ref_end, var_pos, var_ref_len,
+              var_index, a0_is_alt, a_blob, a0_off, a0_len, a1_off, a1_len):
+    """Native WFA graph construction. Returns (node_off, node_blob,
+    edge_off, edge_dst, alleles) or None (unavailable / capacity fallback)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_hn_build_sig", False):
+        lib.hn_wfa_build.restype = ctypes.c_int64
+        lib._hn_build_sig = True
+    n = len(var_pos)
+    window = ref_end - ref_start
+    node_cap = 3 * n + 4
+    blob_cap = window + int(a0_len.sum() + a1_len.sum()) + 16
+    edge_cap = 8 * n + 16
+    alle_cap = 2 * n + 2
+    node_off = np.zeros(node_cap + 1, dtype=np.int64)
+    node_blob = np.zeros(blob_cap, dtype=np.uint8)
+    edge_off = np.zeros(max(node_cap + 1, edge_cap), dtype=np.int64)
+    edge_dst = np.zeros(edge_cap, dtype=np.int32)
+    alle_node = np.zeros(alle_cap, dtype=np.int32)
+    alle_var = np.zeros(alle_cap, dtype=np.int32)
+    alle_val = np.zeros(alle_cap, dtype=np.uint8)
+    n_alleles = np.zeros(1, dtype=np.int64)
+    ref_arr = np.frombuffer(reference, dtype=np.uint8)
+    n_nodes = lib.hn_wfa_build(
+        ctypes.c_void_p(ref_arr.ctypes.data), ctypes.c_int64(ref_start),
+        ctypes.c_int64(ref_end), ctypes.c_int32(n),
+        ctypes.c_void_p(np.ascontiguousarray(var_pos, np.int64).ctypes.data),
+        ctypes.c_void_p(np.ascontiguousarray(var_ref_len, np.int64).ctypes.data),
+        ctypes.c_void_p(np.ascontiguousarray(var_index, np.int32).ctypes.data),
+        ctypes.c_void_p(np.ascontiguousarray(a0_is_alt, np.uint8).ctypes.data),
+        ctypes.c_void_p(np.ascontiguousarray(a_blob, np.uint8).ctypes.data),
+        ctypes.c_void_p(np.ascontiguousarray(a0_off, np.int64).ctypes.data),
+        ctypes.c_void_p(np.ascontiguousarray(a0_len, np.int64).ctypes.data),
+        ctypes.c_void_p(np.ascontiguousarray(a1_off, np.int64).ctypes.data),
+        ctypes.c_void_p(np.ascontiguousarray(a1_len, np.int64).ctypes.data),
+        ctypes.c_void_p(node_off.ctypes.data),
+        ctypes.c_void_p(node_blob.ctypes.data),
+        ctypes.c_int64(node_cap), ctypes.c_int64(blob_cap),
+        ctypes.c_void_p(edge_off.ctypes.data),
+        ctypes.c_void_p(edge_dst.ctypes.data), ctypes.c_int64(edge_cap),
+        ctypes.c_void_p(alle_node.ctypes.data),
+        ctypes.c_void_p(alle_var.ctypes.data),
+        ctypes.c_void_p(alle_val.ctypes.data),
+        ctypes.c_int64(alle_cap), ctypes.c_void_p(n_alleles.ctypes.data))
+    if n_nodes < 0:
+        return None
+    na = int(n_alleles[0])
+    return (node_off[:n_nodes + 1], node_blob, edge_off[:n_nodes + 1].copy(),
+            edge_dst, (alle_node[:na], alle_var[:na], alle_val[:na]))

@@ -46,10 +46,93 @@ NOV = 3
 AMB = 2
 
 
+class WfaBlockPack:
+    """Block-level arrays for the native graph builder: the merged
+    (het + hom, position-sorted) variant windows and truncated-allele blobs
+    are constant across a block's reads, so they are packed once. Het
+    entries carry their absolute variant index; homs carry -1."""
+
+    def __init__(self, variant_calls: list[Variant], hom_calls: list[Variant]):
+        # sorted position arrays for the per-read overlap searches
+        self.het_pos = np.fromiter((v.position for v in variant_calls),
+                                   np.int64, len(variant_calls))
+        self.hom_pos = np.fromiter((v.position for v in hom_calls),
+                                   np.int64, len(hom_calls))
+        merged = [(v, i) for i, v in enumerate(variant_calls)
+                  if not v.is_ignored] + \
+                 [(v, -1) for v in hom_calls if not v.is_ignored]
+        merged.sort(key=lambda t: t[0].position)
+        n = len(merged)
+        self.n = n
+        self.pos = np.fromiter((v.position for v, _ in merged), np.int64, n)
+        self.ref_len = np.fromiter((v.ref_len for v, _ in merged), np.int64, n)
+        self.var_index = np.fromiter((i for _, i in merged), np.int32, n)
+        self.a0_is_alt = np.fromiter((v.index_allele0 != 0 for v, _ in merged),
+                                     np.uint8, n)
+        chunks = []
+        self.a0_off = np.zeros(n, np.int64)
+        self.a0_len = np.zeros(n, np.int64)
+        self.a1_off = np.zeros(n, np.int64)
+        self.a1_len = np.zeros(n, np.int64)
+        off = 0
+        for k, (v, _) in enumerate(merged):
+            t0 = v.get_truncated_allele0()
+            t1 = v.get_truncated_allele1()
+            self.a0_off[k] = off
+            self.a0_len[k] = len(t0)
+            chunks.append(t0)
+            off += len(t0)
+            self.a1_off[k] = off
+            self.a1_len[k] = len(t1)
+            chunks.append(t1)
+            off += len(t1)
+        self.blob = np.frombuffer(b"".join(chunks), np.uint8) if off else \
+            np.zeros(1, np.uint8)
+
+
+def _native_global_assign(pack: WfaBlockPack, chrom_seq: bytes,
+                          ref_start: int, ref_end: int, read_align: bytes,
+                          wfa_prune_distance: int, max_edit_distance: int,
+                          alleles: np.ndarray):
+    """Native fast path: build the window graph and align in C++, writing
+    allele assignments for traversed branches into ``alleles``.
+    Returns the WFA score, or None to use the Python path."""
+    from hiphase_tpu.io import native
+    if not native.available():
+        return None
+    built = native.wfa_build(chrom_seq, ref_start, ref_end, pack.pos,
+                             pack.ref_len, pack.var_index, pack.a0_is_alt,
+                             pack.blob, pack.a0_off, pack.a0_len,
+                             pack.a1_off, pack.a1_len)
+    if built is None:
+        return None
+    node_off, node_blob, edge_off, edge_dst, (an, av, aa) = built
+    out = native.wfa_align(node_blob, node_off, edge_dst, edge_off,
+                           read_align, min(wfa_prune_distance, USIZE_MAX),
+                           min(max_edit_distance, USIZE_MAX))
+    if out is None:
+        return None
+    score, traversed = out
+    if score < 0:
+        raise WFAGraphError(max_edit_distance)
+    for k in range(len(an)):
+        if not traversed[an[k]]:
+            continue
+        vi = int(av[k])
+        if vi < 0:
+            continue  # hom branch
+        if alleles[vi] == NOV:
+            alleles[vi] = aa[k]
+        elif alleles[vi] != aa[k]:
+            alleles[vi] = AMB
+    return score
+
+
 def global_realignment(phase_problem: PhaseBlock, read: BamRecord,
                        variant_calls: list[Variant], hom_calls: list[Variant],
                        reference_genome: ReferenceGenome,
-                       wfa_prune_distance: int, global_max_edit_distance: int
+                       wfa_prune_distance: int, global_max_edit_distance: int,
+                       wfa_pack: WfaBlockPack | None = None
                        ) -> tuple[np.ndarray, np.ndarray, ReadStats, int]:
     """(ref: read_parsing.rs:652-867). Raises WFAGraphError on max-ED."""
     from hiphase_tpu.phasing.read_parsing import build_r2q
@@ -63,29 +146,39 @@ def global_realignment(phase_problem: PhaseBlock, read: BamRecord,
     min_position = base + int(mapped[0])
     max_position = base + int(mapped[-1])
 
-    first_overlap = None
-    last_overlap = 0
-    num_overlaps = 0
-    for i, variant in enumerate(variant_calls):
-        if min_position <= variant.position <= max_position:
-            if first_overlap is None:
-                first_overlap = i
-            last_overlap = i + 1
-            num_overlaps += 1
+    if wfa_pack is not None:
+        lo = int(np.searchsorted(wfa_pack.het_pos, min_position, "left"))
+        hi = int(np.searchsorted(wfa_pack.het_pos, max_position, "right"))
+        first_overlap = lo if hi > lo else None
+        last_overlap = hi
+        num_overlaps = hi - lo
+        hlo = int(np.searchsorted(wfa_pack.hom_pos, min_position, "left"))
+        hhi = int(np.searchsorted(wfa_pack.hom_pos, max_position, "right"))
+        first_hom_overlap = hlo if hhi > hlo else 0
+        last_hom_overlap = hhi
+    else:
+        first_overlap = None
+        last_overlap = 0
+        num_overlaps = 0
+        for i, variant in enumerate(variant_calls):
+            if min_position <= variant.position <= max_position:
+                if first_overlap is None:
+                    first_overlap = i
+                last_overlap = i + 1
+                num_overlaps += 1
+        first_hom_overlap = None
+        last_hom_overlap = 0
+        for i, variant in enumerate(hom_calls):
+            if min_position <= variant.position <= max_position:
+                if first_hom_overlap is None:
+                    first_hom_overlap = i
+                last_hom_overlap = i + 1
+        if first_hom_overlap is None:
+            first_hom_overlap = 0
 
     if num_overlaps == 0:
         stats.skipped_reads = 1
         return (np.zeros(0, np.uint8), np.zeros(0, np.uint8), stats, USIZE_MAX)
-
-    first_hom_overlap = None
-    last_hom_overlap = 0
-    for i, variant in enumerate(hom_calls):
-        if min_position <= variant.position <= max_position:
-            if first_hom_overlap is None:
-                first_hom_overlap = i
-            last_hom_overlap = i + 1
-    if first_hom_overlap is None:
-        first_hom_overlap = 0
 
     read_sequence = read.query_sequence()
     read_start = int(r2q[min_position - base])
@@ -93,24 +186,32 @@ def global_realignment(phase_problem: PhaseBlock, read: BamRecord,
     read_align = read_sequence[read_start:read_end + 1]
 
     chrom_seq = reference_genome.get_full_chromosome(phase_problem.chrom)
-    wfa_graph, node_to_alleles = WFAGraph.from_reference_variants_with_hom(
-        chrom_seq,
-        variant_calls[first_overlap:last_overlap],
-        hom_calls[first_hom_overlap:last_hom_overlap],
-        min_position, max_position + 1,
-        global_max_edit_distance)
-
-    wfa_result = wfa_graph.edit_distance_with_pruning(
-        read_align, wfa_prune_distance)  # raises WFAGraphError on max-ED
-
     alleles = np.full(num_variants, NOV, dtype=np.uint8)
-    for node_index in wfa_result.traversed_nodes:
-        for var_index, allele_assignment in node_to_alleles.get(node_index, []):
-            ci = first_overlap + var_index
-            if alleles[ci] == NOV:
-                alleles[ci] = allele_assignment
-            elif alleles[ci] != allele_assignment:
-                alleles[ci] = AMB
+    score = None
+    if wfa_pack is not None:
+        # fast path: block-level pack → native build + align, zero per-read
+        # python graph work (the C++ builder window-filters identically)
+        score = _native_global_assign(
+            wfa_pack, chrom_seq, min_position, max_position + 1, read_align,
+            wfa_prune_distance, global_max_edit_distance, alleles)
+    if score is None:
+        wfa_graph, node_to_alleles = WFAGraph.from_reference_variants_with_hom(
+            chrom_seq,
+            variant_calls[first_overlap:last_overlap],
+            hom_calls[first_hom_overlap:last_hom_overlap],
+            min_position, max_position + 1,
+            global_max_edit_distance)
+        wfa_result = wfa_graph.edit_distance_with_pruning(
+            read_align, wfa_prune_distance)  # raises WFAGraphError on max-ED
+        score = wfa_result.score
+        for node_index in wfa_result.traversed_nodes:
+            for var_index, allele_assignment in node_to_alleles.get(
+                    node_index, []):
+                ci = first_overlap + var_index
+                if alleles[ci] == NOV:
+                    alleles[ci] = allele_assignment
+                elif alleles[ci] != allele_assignment:
+                    alleles[ci] = AMB
 
     quals = np.zeros(num_variants, dtype=np.uint8)
     for i in range(num_variants):
@@ -131,7 +232,7 @@ def global_realignment(phase_problem: PhaseBlock, read: BamRecord,
         stats.num_alleles += 1
 
     stats.global_aligned = 1
-    return alleles, quals, stats, wfa_result.score
+    return alleles, quals, stats, score
 
 
 def load_full_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
@@ -143,8 +244,14 @@ def load_full_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
                             ) -> tuple[list[ReadSegment], list[ReadSegment], ReadStats]:
     """Dual-mode loading with the failure ladder
     (ref: read_parsing.rs:520-637)."""
+    from hiphase_tpu.io import native as native_mod
+    from hiphase_tpu.phasing.variant_pack import build_variant_pack
+
     read_groups: dict[str, list[ReadSegment]] = {}
     joint_stats = ReadStats()
+    local_pack = build_variant_pack(variant_calls)
+    wfa_pack = WfaBlockPack(variant_calls, hom_calls) \
+        if native_mod.available() else None
 
     global_disabled = False
     num_global_failures = 0.0
@@ -158,18 +265,18 @@ def load_full_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
                     continue
                 if global_disabled:
                     alleles, quals, read_stats = local_realignment(
-                        read, variant_calls)
+                        read, variant_calls, pack=local_pack)
                 else:
                     try:
                         alleles, quals, read_stats, _score = global_realignment(
                             phase_problem, read, variant_calls, hom_calls,
                             reference_genome, config.wfa_prune_distance,
-                            config.max_edit_distance)
+                            config.max_edit_distance, wfa_pack=wfa_pack)
                     except WFAGraphError:
                         logger.debug("Reverting to local re-alignment for %s...",
                                      read.read_name)
                         alleles, quals, read_stats = local_realignment(
-                            read, variant_calls)
+                            read, variant_calls, pack=local_pack)
 
                 if read_stats.skipped_reads == 0:
                     read_groups.setdefault(read.read_name, []).append(

@@ -23,6 +23,10 @@ class SimVariant:
     gt: tuple[int, int]  # truth genotype per haplotype (h1 allele, h2 allele)
     gq: int = 60
     info: str = "."      # INFO column (e.g. SVTYPE=DEL, TRID=...)
+    alt2: bytes | None = None  # second ALT for multi-allelic sites (index 2)
+
+    def allele_seq(self, index: int) -> bytes:
+        return (self.ref, self.alt, self.alt2)[index]
 
 
 @dataclass
@@ -101,7 +105,7 @@ def hap_arrays(contig: SimContig, hap: int) -> tuple[bytes, np.ndarray]:
     ref = contig.seq
     pos = 0
     for v in sorted(contig.variants, key=lambda v: v.pos):
-        if v.gt[hap] != 1:
+        if v.gt[hap] == 0:
             continue
         assert v.pos >= pos, "overlapping variants in sim"
         # identity up to the variant
@@ -109,10 +113,11 @@ def hap_arrays(contig: SimContig, hap: int) -> tuple[bytes, np.ndarray]:
         h2r.extend(range(pos, v.pos))
         # alt allele: aligned bases map 1:1 to the ref allele prefix,
         # surplus alt bases are insertions (-1), missing ref bases deletions
-        n_aligned = min(len(v.ref), len(v.alt))
-        seq += v.alt
+        alt = v.allele_seq(v.gt[hap])
+        n_aligned = min(len(v.ref), len(alt))
+        seq += alt
         h2r.extend(range(v.pos, v.pos + n_aligned))
-        h2r.extend([-1] * (len(v.alt) - n_aligned))
+        h2r.extend([-1] * (len(alt) - n_aligned))
         pos = v.pos + len(v.ref)
     seq += ref[pos:]
     h2r.extend(range(pos, len(ref)))
@@ -167,10 +172,13 @@ def write_vcf(path: str, contigs: list[SimContig], sample: str = "SAMPLE",
     for c in contigs:
         for v in c.variants:
             gt = f"{min(v.gt)}/{max(v.gt)}"
+            alt = v.alt.decode()
+            if v.alt2 is not None:
+                alt += "," + v.alt2.decode()
             extra = "\t0/0:60" * len(extra_samples or [])
             wr.write(VcfRecord.parse(
                 f"{c.name}\t{v.pos + 1}\t.\t{v.ref.decode()}\t"
-                f"{v.alt.decode()}\t60\tPASS\t{v.info}\tGT:GQ\t{gt}:{v.gq}"
+                f"{alt}\t60\tPASS\t{v.info}\tGT:GQ\t{gt}:{v.gq}"
                 f"{extra}".encode()))
     wr.close()
     wr.write_index()

@@ -282,3 +282,45 @@ def test_native_matches_python_wfa():
         r_nat = g.edit_distance(obs)
         assert r_nat.score == r_py.score, trial
         assert r_nat.traversed_nodes == r_py.traversed_nodes, trial
+
+
+def test_native_build_matches_python():
+    """C++ graph construction must reproduce the Python builder exactly
+    (sequences, edges, allele maps) on randomized windows with homs and
+    multi-allelics."""
+    import numpy as np
+    from hiphase_tpu.io import native
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(5)
+    for trial in range(30):
+        length = 80
+        ref = rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                         size=length).astype(np.uint8).tobytes()
+        hets, homs = [], []
+        pos = 4
+        while pos < length - 10:
+            kind = rng.choice(["snv", "del", "multi", "hom"])
+            if kind == "snv":
+                alt = bytes([rng.choice([b for b in b"ACGT" if b != ref[pos]])])
+                hets.append(Variant.new_snv(0, pos, ref[pos:pos+1], alt, 0, 1))
+            elif kind == "del":
+                d = int(rng.integers(1, 4))
+                hets.append(Variant.new_deletion(
+                    0, pos, 1 + d, ref[pos:pos+1+d], ref[pos:pos+1], 0, 1))
+            elif kind == "multi":
+                hets.append(Variant.new_indel(
+                    0, pos, 2, b"G", b"GTT", 1, 2))
+            else:
+                alt = bytes([rng.choice([b for b in b"ACGT" if b != ref[pos]])])
+                homs.append(Variant.new_snv(0, pos, ref[pos:pos+1], alt, 0, 1))
+            pos += int(rng.integers(5, 12))
+        rs = int(rng.integers(0, 3))
+        re_ = length - int(rng.integers(0, 3))
+        g_n, n2a_n = WFAGraph.from_reference_variants_with_hom(
+            ref, hets, homs, rs, re_, 1000)
+        g_p, n2a_p = WFAGraph._from_reference_variants_python(
+            ref, hets, homs, rs, re_, 1000)
+        assert g_n.sequences == g_p.sequences, trial
+        assert g_n.edges == g_p.edges, trial
+        assert n2a_n == n2a_p, trial
