@@ -186,10 +186,12 @@ def wfa_align(node_blob, node_off, edge_dst, edge_off, read,
         lib.hn_wfa_align.restype = ctypes.c_int64
         lib._hn_wfa_sig = True
     n_nodes = len(node_off) - 1
-    node_blob = np.ascontiguousarray(node_blob, dtype=np.uint8)
-    node_off = np.ascontiguousarray(node_off, dtype=np.int64)
-    edge_dst = np.ascontiguousarray(edge_dst, dtype=np.int32)
-    edge_off = np.ascontiguousarray(edge_off, dtype=np.int64)
+    if not (node_blob.flags.c_contiguous and node_off.flags.c_contiguous
+            and edge_dst.flags.c_contiguous and edge_off.flags.c_contiguous):
+        node_blob = np.ascontiguousarray(node_blob, dtype=np.uint8)
+        node_off = np.ascontiguousarray(node_off, dtype=np.int64)
+        edge_dst = np.ascontiguousarray(edge_dst, dtype=np.int32)
+        edge_off = np.ascontiguousarray(edge_off, dtype=np.int64)
     read_arr = np.frombuffer(bytes(read), dtype=np.uint8)
     traversed = np.zeros(n_nodes, dtype=np.uint8)
     score = lib.hn_wfa_align(
@@ -230,19 +232,21 @@ def wfa_build(reference, ref_start, ref_end, var_pos, var_ref_len,
     alle_var = np.zeros(alle_cap, dtype=np.int32)
     alle_val = np.zeros(alle_cap, dtype=np.uint8)
     n_alleles = np.zeros(1, dtype=np.int64)
+    # inputs are produced contiguous with the right dtypes by the callers
+    # (WfaBlockPack / from_reference_variants); avoid per-read conversions
     ref_arr = np.frombuffer(reference, dtype=np.uint8)
     n_nodes = lib.hn_wfa_build(
         ctypes.c_void_p(ref_arr.ctypes.data), ctypes.c_int64(ref_start),
         ctypes.c_int64(ref_end), ctypes.c_int32(n),
-        ctypes.c_void_p(np.ascontiguousarray(var_pos, np.int64).ctypes.data),
-        ctypes.c_void_p(np.ascontiguousarray(var_ref_len, np.int64).ctypes.data),
-        ctypes.c_void_p(np.ascontiguousarray(var_index, np.int32).ctypes.data),
-        ctypes.c_void_p(np.ascontiguousarray(a0_is_alt, np.uint8).ctypes.data),
-        ctypes.c_void_p(np.ascontiguousarray(a_blob, np.uint8).ctypes.data),
-        ctypes.c_void_p(np.ascontiguousarray(a0_off, np.int64).ctypes.data),
-        ctypes.c_void_p(np.ascontiguousarray(a0_len, np.int64).ctypes.data),
-        ctypes.c_void_p(np.ascontiguousarray(a1_off, np.int64).ctypes.data),
-        ctypes.c_void_p(np.ascontiguousarray(a1_len, np.int64).ctypes.data),
+        ctypes.c_void_p(var_pos.ctypes.data),
+        ctypes.c_void_p(var_ref_len.ctypes.data),
+        ctypes.c_void_p(var_index.ctypes.data),
+        ctypes.c_void_p(a0_is_alt.ctypes.data),
+        ctypes.c_void_p(a_blob.ctypes.data),
+        ctypes.c_void_p(a0_off.ctypes.data),
+        ctypes.c_void_p(a0_len.ctypes.data),
+        ctypes.c_void_p(a1_off.ctypes.data),
+        ctypes.c_void_p(a1_len.ctypes.data),
         ctypes.c_void_p(node_off.ctypes.data),
         ctypes.c_void_p(node_blob.ctypes.data),
         ctypes.c_int64(node_cap), ctypes.c_int64(blob_cap),
