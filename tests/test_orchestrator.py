@@ -39,3 +39,21 @@ def test_drain_partial_buckets(tmp_path):
     a = [r.serialize() for r in VcfReader(vcf_a)]
     b = [r.serialize() for r in VcfReader(vcf_b)]
     assert a == b
+
+
+def test_tpu_engine_with_global_realignment(tmp_path):
+    """The batched device engine composes with graph-WFA allele assignment."""
+    from hiphase_tpu.cli import main as cli_main
+
+    fasta, vcf, bam, contigs, _ = build_dataset(
+        tmp_path, seed=23, n_contigs=1, contig_len=6000)
+    out_a = str(tmp_path / "astar.vcf.gz")
+    out_t = str(tmp_path / "tpu.vcf.gz")
+    assert cli_main(["--bam", bam, "--vcf", vcf, "--output-vcf", out_a,
+                     "--reference", fasta]) == 0
+    assert cli_main(["--bam", bam, "--vcf", vcf, "--output-vcf", out_t,
+                     "--reference", fasta, "--engine", "tpu",
+                     "--beam-width", "64", "--batch-size", "4"]) == 0
+    a = [r.serialize() for r in VcfReader(out_a)]
+    b = [r.serialize() for r in VcfReader(out_t)]
+    assert a == b
