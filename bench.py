@@ -27,8 +27,10 @@ def main():
 
     # Block-batch shapes modeled on WGS HiFi phasing: ~30x coverage piles,
     # blocks bucketed to 64 variants x 128 reads, beam width 256 (well above
-    # the reference's effective queue width for typical blocks).
-    B, R, V, W = 64, 128, 64, 256
+    # the reference's effective queue width for typical blocks). The batch is
+    # large enough that per-dispatch latency (significant on tunneled dev
+    # backends) is amortized against real device work.
+    B, R, V, W = 256, 128, 64, 256
     rng = np.random.default_rng(0)
     h1 = rng.integers(0, 2, size=(B, V))
     hap_choice = rng.random((B, R, 1)) < 0.5
