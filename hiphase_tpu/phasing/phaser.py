@@ -15,6 +15,8 @@ import heapq
 import logging
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from hiphase_tpu.core.read_segments import ReadSegment
 from hiphase_tpu.core.reference_genome import ReferenceGenome
 from hiphase_tpu.core.variants import AlleleType, Variant, VariantType
@@ -204,16 +206,16 @@ def get_solution_span_counts(read_segments: list[ReadSegment],
     """Spanning-read counts per juncture, ignoring homozygous-converted head/
     tail variants (ref: phaser.rs:350-388)."""
     assert len(haplotype_1) == len(haplotype_2)
-    counts = [0] * (len(haplotype_1) - 1)
+    het = np.asarray(haplotype_1) != np.asarray(haplotype_2)
+    # each read spans junctures [first het .. last het) of its window;
+    # accumulate via a difference array instead of a per-juncture loop
+    diff = np.zeros(len(haplotype_1) + 1, dtype=np.int64)
     for rs in read_segments:
-        start, end = rs.start, rs.end - 1
-        while start < end and haplotype_1[start] == haplotype_2[start]:
-            start += 1
-        while start < end and haplotype_1[end] == haplotype_2[end]:
-            end -= 1
-        for j in range(start, end):
-            counts[j] += 1
-    return counts
+        idx = np.flatnonzero(het[rs.start:rs.end])
+        if idx.size >= 2:
+            diff[rs.start + idx[0]] += 1
+            diff[rs.start + idx[-1]] -= 1
+    return np.cumsum(diff[:-2]).tolist()
 
 
 def haplotag_reads(read_segments: list[ReadSegment], haplotype_1: list[int],
@@ -221,18 +223,23 @@ def haplotag_reads(read_segments: list[ReadSegment], haplotype_1: list[int],
                    ) -> dict[str, tuple[int, int]]:
     """Assign each read to the lower-cost haplotype; ties stay untagged
     (ref: phaser.rs:714-750)."""
+    h1 = np.asarray(haplotype_1, dtype=np.uint8)
+    h2 = np.asarray(haplotype_2, dtype=np.uint8)
+    het = h1 != h2
     out: dict[str, tuple[int, int]] = {}
     for rs in read_segments:
-        a1 = rs.score_haplotype(haplotype_1)
-        a2 = rs.score_haplotype(haplotype_2)
-        if a1 == a2:
+        a, q = rs.alleles, rs.quals
+        hh1 = h1[rs.start:rs.end]
+        hh2 = h2[rs.start:rs.end]
+        s1 = int(q[(hh1 < AMB) & (a != hh1)].sum())
+        s2 = int(q[(hh2 < AMB) & (a != hh2)].sum())
+        if s1 == s2:
             continue
-        haplotag = 0 if a1 < a2 else 1
-        first_variant = rs.start
+        haplotag = 0 if s1 < s2 else 1
         # block id comes from the first het, resolved variant the read covers
-        while (haplotype_1[first_variant] == haplotype_2[first_variant]
-               or rs.allele(first_variant) >= AMB):
-            first_variant += 1
+        cand = np.flatnonzero(het[rs.start:rs.end] & (a < AMB))
+        assert cand.size > 0
+        first_variant = rs.start + int(cand[0])
         assert rs.read_name not in out
         out[rs.read_name] = (block_tags[first_variant], haplotag)
     return out
