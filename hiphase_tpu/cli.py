@@ -343,6 +343,48 @@ def _main(argv=None) -> int:
                     emit(pr, hr)
         for pr, hr in device_solver.drain():
             emit(pr, hr)
+    elif args.threads > 1:
+        # worker pool of solve_block processes with bounded in-flight window
+        # and fail-fast error propagation (ref: main.rs:325-462); fork shares
+        # the loaded reference genome copy-on-write
+        import multiprocessing
+        from collections import deque
+
+        from hiphase_tpu.parallel import workers
+
+        workers.init_parent(
+            reference_genome, args.vcfs, sample_to_bams,
+            reference_buffer=args.reference_buffer,
+            min_matched_alleles=args.min_matched_alleles,
+            min_mapq=args.min_mapping_quality,
+            min_queue_size=args.phase_min_queue_size,
+            queue_increment=args.phase_queue_increment,
+            global_config=global_config)
+        ctx = multiprocessing.get_context("fork")
+        job_slots = 40 * args.threads  # backpressure (ref: main.rs:328)
+        with ctx.Pool(args.threads) as pool:
+            inflight: deque = deque()
+
+            def emit_one(kind, item):
+                if kind == "solve":
+                    emit(*item.get())
+                else:
+                    emit(*create_unphased_result(item))
+
+            for block in windowed(block_iterator):
+                if should_solve(block):
+                    inflight.append(
+                        ("solve",
+                         pool.apply_async(workers.solve_block_worker,
+                                          (block,))))
+                else:
+                    # unphased/singleton blocks short-circuit on the main
+                    # process (ref: main.rs:409-430)
+                    inflight.append(("unphased", block))
+                while len(inflight) >= job_slots:
+                    emit_one(*inflight.popleft())
+            while inflight:
+                emit_one(*inflight.popleft())
     else:
         for block in windowed(block_iterator):
             if should_solve(block):

@@ -63,6 +63,77 @@ def available() -> bool:
     return _load() is not None
 
 
+def bam_scan_records(raw: np.ndarray, name_blob: np.ndarray,
+                     name_off: np.ndarray):
+    """Walk a decompressed BAM record stream (starting at a record boundary).
+
+    Returns (tid, pos, end, mapq, flag, sa_rec, sa_start, sa_end, sa_mapq,
+    consumed_bytes) or None when the native library is unavailable or the
+    stream is malformed (callers fall back to the Python reader).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_hn_bam_scan_sig", False):
+        lib.hn_bam_scan_records.restype = ctypes.c_int64
+        lib._hn_bam_scan_sig = True
+    n_ref = len(name_off) - 1
+    cap = max(len(raw) // 36, 16)  # min record size ≈ 36 bytes on disk
+    sa_cap = max(cap // 4, 1024)
+    tid = np.empty(cap, dtype=np.int32)
+    pos = np.empty(cap, dtype=np.int32)
+    end = np.empty(cap, dtype=np.int32)
+    mapq = np.empty(cap, dtype=np.uint8)
+    flag = np.empty(cap, dtype=np.uint16)
+    sa_rec = np.empty(sa_cap, dtype=np.int64)
+    sa_start = np.empty(sa_cap, dtype=np.int32)
+    sa_end = np.empty(sa_cap, dtype=np.int32)
+    sa_mapq = np.empty(sa_cap, dtype=np.int32)
+    sa_count = np.zeros(1, dtype=np.int64)
+    consumed = np.zeros(1, dtype=np.int64)
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    name_blob = np.ascontiguousarray(name_blob, dtype=np.uint8)
+    name_off = np.ascontiguousarray(name_off, dtype=np.int64)
+    while True:
+        n = lib.hn_bam_scan_records(
+            ctypes.c_void_p(raw.ctypes.data), ctypes.c_int64(len(raw)),
+            ctypes.c_void_p(name_blob.ctypes.data),
+            ctypes.c_void_p(name_off.ctypes.data), ctypes.c_int32(n_ref),
+            ctypes.c_void_p(tid.ctypes.data), ctypes.c_void_p(pos.ctypes.data),
+            ctypes.c_void_p(end.ctypes.data),
+            ctypes.c_void_p(mapq.ctypes.data),
+            ctypes.c_void_p(flag.ctypes.data), ctypes.c_int64(cap),
+            ctypes.c_void_p(sa_rec.ctypes.data),
+            ctypes.c_void_p(sa_start.ctypes.data),
+            ctypes.c_void_p(sa_end.ctypes.data),
+            ctypes.c_void_p(sa_mapq.ctypes.data),
+            ctypes.c_int64(sa_cap), ctypes.c_void_p(sa_count.ctypes.data),
+            ctypes.c_void_p(consumed.ctypes.data))
+        if n == -3:
+            return None
+        if n == -1:
+            cap *= 2
+            tid = np.empty(cap, dtype=np.int32)
+            pos = np.empty(cap, dtype=np.int32)
+            end = np.empty(cap, dtype=np.int32)
+            mapq = np.empty(cap, dtype=np.uint8)
+            flag = np.empty(cap, dtype=np.uint16)
+            continue
+        if n == -2:
+            sa_cap *= 2
+            sa_rec = np.empty(sa_cap, dtype=np.int64)
+            sa_start = np.empty(sa_cap, dtype=np.int32)
+            sa_end = np.empty(sa_cap, dtype=np.int32)
+            sa_mapq = np.empty(sa_cap, dtype=np.int32)
+            continue
+        break
+    n = int(n)
+    ns = int(sa_count[0])
+    return (tid[:n].copy(), pos[:n].copy(), end[:n].copy(), mapq[:n].copy(),
+            flag[:n].copy(), sa_rec[:ns].copy(), sa_start[:ns].copy(),
+            sa_end[:ns].copy(), sa_mapq[:ns].copy(), int(consumed[0]))
+
+
 def bgzf_compress_blocks(payloads: list[bytes], level: int = 6,
                          threads: int = 4) -> bytes | None:
     """Compress payloads (each ≤64KiB) into concatenated BGZF blocks.

@@ -5,27 +5,42 @@ order in the writers. Here the equivalent is a pipelined producer/consumer:
 
   producer (host)  — streaming block gen + per-block prepare (VCF/BAM I/O,
                      tensorization), optionally on a thread pool
-  device (TPU)     — bucketed, padded batches through the beam engine;
-                     buckets keyed by (reads, variants) so the jit cache
-                     stays small and utilization high
-  consumer (host)  — finalize (block split, haplotag) and feed the ordered
-                     writers, which already reorder by block index
+  device (TPU)     — fixed-shape batches through the variant-tiled beam
+                     kernel; the ONLY shape axes are (batch, slot-bucket,
+                     tile, width), so the whole run compiles a handful of
+                     programs and a block of any length is a chain of tile
+                     calls. Dispatch is asynchronous: a bounded pipeline of
+                     in-flight batches overlaps host prepare with device
+                     compute.
+  consumer (host)  — finalize (backtrace, block split, haplotag) and feed
+                     the ordered writers, which already reorder by index
 
-Blocks too large for a bucket fall back to the host A* oracle, preserving
-output semantics.
+Width schedule (ref: astar_phaser.rs:451-502, cli.rs:214-226): every batch
+first runs at the fast width (``--beam-width``); any block whose result is
+not provably optimal (pruned > 0) is re-solved at the full width
+(``--phase-min-queue-size`` rounded up), so the default configuration honors
+the reference's queue-size floor while paying full-width compute only where
+it can matter.
+
+Multi-chip: when more than one JAX device is visible, batches are sharded
+over a 1-D data mesh (batch axis) with `jax.NamedSharding`; XLA partitions
+the tile kernel automatically (blocks are independent, so there is no
+cross-device communication inside the solve).
 """
 
 from __future__ import annotations
 
 import logging
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
 from hiphase_tpu.phasing.astar import astar_solver
 from hiphase_tpu.phasing.beam import (
-    assign_slots, beam_solve_batch, tensorize_block,
+    MAX_HETS, assign_slots, beam_init_state, pack_job_stats, tensorize_block,
+    tiles_backtrace, tiles_forward, unpack_job_stats,
 )
 from hiphase_tpu.phasing.phaser import BlockData, finalize_block
 from hiphase_tpu.core.variants import AlleleType, VariantType
@@ -35,11 +50,18 @@ logger = logging.getLogger(__name__)
 
 AMB = int(AlleleType.AMBIGUOUS)
 
-# bucket ladders: padded (slots, variants) shapes; beyond the last → host A*.
-# The slot axis counts *concurrent* reads (interval-packed), so even
-# megabase blocks stay within a few hundred slots at WGS coverage.
-READ_BUCKETS = (32, 64, 128, 256, 512, 1024)
-VAR_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+# slot-bucket ladder: padded concurrent-read capacities. The slot axis counts
+# *concurrent* reads (interval-packed), so even megabase blocks stay within a
+# few hundred slots at WGS coverage; beyond the ladder → host A* fallback.
+READ_BUCKETS = (128, 512, 1024)
+# blocks per device batch for each slot bucket (device work per batch stays
+# roughly constant; every batch is padded to exactly this size so each
+# (bucket, width) pair is ONE compiled program)
+BUCKET_BATCH = {128: 16, 512: 8, 1024: 4}
+# variant-tile size: the kernel's static column count
+TILE = 128
+# in-flight device batches before the oldest is forced to materialize
+PIPELINE_DEPTH = 2
 
 
 def _bucket_of(n: int, ladder: tuple[int, ...]) -> int | None:
@@ -47,6 +69,11 @@ def _bucket_of(n: int, ladder: tuple[int, ...]) -> int | None:
         if n <= b:
             return b
     return None
+
+
+def _pad_width(w: int) -> int:
+    """Round a width up to a multiple of 64 (sort/beam shapes stay regular)."""
+    return max(64, ((w + 63) // 64) * 64)
 
 
 def _stats_from_beam(data: BlockData, h1, h2, cost: int, pruned: int) -> PhaseStats:
@@ -57,7 +84,8 @@ def _stats_from_beam(data: BlockData, h1, h2, cost: int, pruned: int) -> PhaseSt
     skipped = sum(1 for a, b in zip(h1, h2) if a == b == AMB)
     hom = len(h1) - phased - skipped
     # the beam has no admissible pre-estimate; report the exact cost so
-    # cost_ratio stays 1.0 and pruned==0 keeps meaning provably optimal
+    # cost_ratio stays 1.0; pruned==0 keeps meaning provably optimal (the
+    # kernel discounts discards that provably couldn't beat the result)
     return PhaseStats(pruned, cost, cost, phased, phased_snvs, hom, skipped)
 
 
@@ -70,81 +98,147 @@ class _Pending:
     resets: np.ndarray
 
 
+@dataclass
+class _Job:
+    """One dispatched device batch (async; arrays still on device)."""
+
+    pending: list[_Pending]
+    width: int
+    skip: np.ndarray            # [B, Vp] host copy for the backtrace
+    stats: object               # device-packed (cost, hets, cnt, dmin)
+    traces: list                # per tile: (parents, choices, cnt, dmin)
+    escalated: bool = False
+
+
 class BatchedDeviceSolver:
     """Buckets prepared blocks into fixed-shape padded batches and solves
-    them on the accelerator; `drain` yields finalized results."""
+    them on the accelerator; results flow back through an async pipeline."""
 
     def __init__(self, beam_width: int = 256, batch_size: int = 32,
-                 min_queue_size: int = 1000, queue_increment: int = 3):
-        self.beam_width = beam_width
-        self.batch_size = batch_size
+                 min_queue_size: int = 1000, queue_increment: int = 3,
+                 tile: int = TILE):
+        self.fast_width = _pad_width(beam_width)
+        self.full_width = max(self.fast_width, _pad_width(min_queue_size))
+        self.batch_cap = max(batch_size, 1)
         self.min_queue_size = min_queue_size
         self.queue_increment = queue_increment
-        self._buckets: dict[tuple[int, int], list[_Pending]] = {}
+        self.tile = tile
+        self._buckets: dict[int, list[_Pending]] = {}
+        self._esc_buckets: dict[int, list[_Pending]] = {}
+        self._jobs: deque[_Job] = deque()
+        self._sharding = None
+        self._n_dev = 1
+        try:
+            import jax
+            devs = jax.devices()
+            if len(devs) > 1:
+                from jax.sharding import Mesh, NamedSharding, PartitionSpec
+                self._mesh = Mesh(np.array(devs), ("data",))
+                self._sharding = NamedSharding(self._mesh, PartitionSpec("data"))
+                self._n_dev = len(devs)
+        except Exception:  # pragma: no cover - no backend at all
+            pass
 
-    def _batch_size_for(self, rb: int, vb: int) -> int:
-        """Shrink the batch for big shapes so per-batch device work stays
-        bounded (the jit cache keys on (B, rb, vb, W))."""
-        cells = rb * vb
-        base_cells = 128 * 64
-        return max(1, min(self.batch_size,
-                          self.batch_size * base_cells // max(cells, 1)))
+    def _batch_size_for(self, rb: int) -> int:
+        b = min(BUCKET_BATCH[rb], self.batch_cap)
+        if self._n_dev > 1:
+            b = max(((b + self._n_dev - 1) // self._n_dev) * self._n_dev,
+                    self._n_dev)
+        return b
 
     def submit(self, data: BlockData):
-        """Queue one prepared block; returns completed results if the
-        bucket filled."""
+        """Queue one prepared block; returns finalized results whose device
+        work has completed."""
         nv = len(data.variants)
         _slots, n_slots = assign_slots(data.read_segments) \
             if data.read_segments else ([], 1)
         rb = _bucket_of(n_slots, READ_BUCKETS)
-        vb = _bucket_of(nv, VAR_BUCKETS)
-        if rb is None or vb is None:
-            # giant block: host oracle fallback
+        if rb is None or nv > MAX_HETS:
+            # beyond the slot ladder (pathological coverage): host oracle
             result = astar_solver(data.phase_block.block_index, data.variants,
                                   data.read_segments, self.min_queue_size,
                                   self.queue_increment)
             return [finalize_block(data, result.haplotype_1,
                                    result.haplotype_2, result.statistics)]
+        vp = ((max(nv, 1) + self.tile - 1) // self.tile) * self.tile
         alleles, quals, skip, resets = tensorize_block(
-            data.read_segments, data.variants, rb, vb, slotted=True)
-        bucket = self._buckets.setdefault((rb, vb), [])
+            data.read_segments, data.variants, rb, vp, slotted=True)
+        bucket = self._buckets.setdefault(rb, [])
         bucket.append(_Pending(data, alleles, quals, skip, resets))
-        if len(bucket) >= self._batch_size_for(rb, vb):
-            return self._solve_bucket((rb, vb))
-        return []
-
-    def _solve_bucket(self, key):
-        pending = self._buckets.pop(key, [])
-        if not pending:
-            return []
-        rb, vb = key
-        B = self._batch_size_for(rb, vb)
-        A = np.full((B, rb, vb), 3, dtype=np.uint8)
-        Q = np.zeros((B, rb, vb), dtype=np.int32)
-        S = np.ones((B, vb), dtype=bool)
-        RS = np.zeros((B, rb, vb), dtype=bool)
-        for i, p in enumerate(pending):
-            A[i], Q[i], S[i], RS[i] = p.alleles, p.quals, p.skip, p.resets
-        h1, h2, cost, _hets, pruned = beam_solve_batch(
-            A, Q, S, beam_width=self.beam_width, resets=RS)
-        h1 = np.asarray(h1)
-        h2 = np.asarray(h2)
-        cost = np.asarray(cost)
-        pruned = np.asarray(pruned)
         out = []
+        if len(bucket) >= self._batch_size_for(rb):
+            self._dispatch(self._buckets.pop(rb), rb, self.fast_width)
+        while len(self._jobs) > PIPELINE_DEPTH:
+            out.extend(self._materialize(self._jobs.popleft()))
+        return out
+
+    def _device_put(self, arr):
+        if self._sharding is not None:
+            import jax
+            return jax.device_put(arr, self._sharding)
+        return arr
+
+    def _dispatch(self, pending: list[_Pending], rb: int, width: int,
+                  escalated: bool = False) -> None:
+        """Pad a bucket to its fixed batch size and enqueue the tile chain
+        on the device (non-blocking)."""
+        B = self._batch_size_for(rb)
+        assert len(pending) <= B
+        vp = max(p.alleles.shape[1] for p in pending)
+        A = np.full((B, rb, vp), 3, dtype=np.uint8)
+        Q = np.zeros((B, rb, vp), dtype=np.int32)
+        S = np.ones((B, vp), dtype=bool)
+        RS = np.zeros((B, rb, vp), dtype=bool)
         for i, p in enumerate(pending):
+            v = p.alleles.shape[1]
+            A[i, :, :v], Q[i, :, :v] = p.alleles, p.quals
+            S[i, :v], RS[i, :, :v] = p.skip, p.resets
+        state = tuple(self._device_put(s) for s in beam_init_state(B, rb, width))
+        state, traces = tiles_forward(state, A, Q, S, RS, width, self.tile,
+                                      put=self._device_put)
+        self._jobs.append(_Job(pending, width, S, pack_job_stats(state, traces),
+                               traces, escalated))
+
+    def _materialize(self, job: _Job):
+        """Block on a dispatched batch (one stats transfer + one haplotype
+        transfer), backtrace on device, and finalize; blocks that aren't
+        provably optimal at the fast width re-enter at full width."""
+        cost, _hets, pruned = unpack_job_stats(np.asarray(job.stats))
+        h1a, h2a = tiles_backtrace(job.traces, job.skip, self.tile,
+                                   put=self._device_put)
+
+        out = []
+        for i, p in enumerate(job.pending):
+            blk_pruned = int(pruned[i])
+            if (blk_pruned > 0 and not job.escalated
+                    and self.full_width > job.width):
+                rb = p.alleles.shape[0]
+                esc = self._esc_buckets.setdefault(rb, [])
+                esc.append(p)
+                if len(esc) >= self._batch_size_for(rb):
+                    self._dispatch(self._esc_buckets.pop(rb), rb,
+                                   self.full_width, escalated=True)
+                continue
             nv = len(p.data.variants)
-            bh1 = [int(x) for x in h1[i, :nv]]
-            bh2 = [int(x) for x in h2[i, :nv]]
-            stats = _stats_from_beam(p.data, bh1, bh2, int(cost[i]),
-                                     int(pruned[i]))
+            bh1 = [int(x) for x in h1a[i, :nv]]
+            bh2 = [int(x) for x in h2a[i, :nv]]
+            stats = _stats_from_beam(p.data, bh1, bh2, int(cost[i]), blk_pruned)
             out.append(finalize_block(p.data, bh1, bh2, stats))
         return out
 
     def drain(self):
         out = []
-        for key in sorted(self._buckets.keys()):
-            out.extend(self._solve_bucket(key))
+        for rb in sorted(self._buckets.keys()):
+            self._dispatch(self._buckets.pop(rb), rb, self.fast_width)
+        while self._jobs:
+            out.extend(self._materialize(self._jobs.popleft()))
+        # escalation rounds: anything re-queued solves at full width
+        while self._esc_buckets or self._jobs:
+            for rb in sorted(self._esc_buckets.keys()):
+                self._dispatch(self._esc_buckets.pop(rb), rb, self.full_width,
+                               escalated=True)
+            while self._jobs:
+                out.extend(self._materialize(self._jobs.popleft()))
         return out
 
 

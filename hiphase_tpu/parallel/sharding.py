@@ -3,25 +3,26 @@
 The reference's entire parallel story is a shared-memory thread pool over
 independent phase blocks (ref: src/main.rs:325-462). The TPU equivalent is
 data-parallel sharding of padded block batches over a 1-D `jax.sharding.Mesh`
-("data" axis): every chip solves its shard of blocks with the beam engine,
-and the only collectives are the result gather plus a `psum`-style reduction
-for run statistics — both riding ICI.
+("data" axis): every chip solves its shard of blocks with the variant-tiled
+beam kernel. Blocks are independent, so there are no collectives inside the
+solve; inputs are placed with `NamedSharding(mesh, P("data"))` and XLA's
+SPMD partitioner splits the tile program over the batch axis automatically.
 
-Multi-host: the same jit runs under `jax.distributed.initialize`; the block
-producer shards the stream by host (DCN) and each host feeds its
-addressable shard.
+Multi-host: the same kernel runs under `jax.distributed.initialize`; see
+`hiphase_tpu.parallel.multihost` for the host-sharded block stream and the
+host-0 result replay.
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from hiphase_tpu.phasing.beam import beam_solve_batch
+from hiphase_tpu.phasing.beam import (
+    beam_init_state, pack_job_stats, tiles_backtrace, tiles_forward,
+    unpack_job_stats,
+)
 
 
 def make_mesh(num_devices: int | None = None) -> Mesh:
@@ -31,45 +32,49 @@ def make_mesh(num_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devices), ("data",))
 
 
-@functools.partial(jax.jit, static_argnames=("beam_width",))
-def _solve_and_summarize(alleles, quals, skip, beam_width: int):
-    """The full device step: batched beam solve + global summary reduction.
-    Under a sharded `in_shardings` this is pure data parallelism with an
-    all-reduce for the summary scalars."""
-    h1, h2, cost, hets, pruned = beam_solve_batch(
-        alleles, quals, skip, beam_width=beam_width)
-    summary = {
-        "total_cost": jnp.sum(cost),
-        "total_hets": jnp.sum(hets),
-        "total_pruned": jnp.sum(pruned),
-        "blocks": jnp.asarray(alleles.shape[0], jnp.int32),
-    }
-    return (h1, h2, cost, hets, pruned), summary
-
-
 def solve_blocks_sharded(mesh: Mesh, alleles: np.ndarray, quals: np.ndarray,
-                         skip: np.ndarray, beam_width: int = 256):
+                         skip: np.ndarray, beam_width: int = 256,
+                         resets: np.ndarray | None = None,
+                         tile: int | None = None):
     """Solve a padded batch of blocks data-parallel over the mesh.
 
     The batch dimension must be divisible by the mesh size (pad with empty
-    blocks: all-NoOverlap reads, skip all-true).
+    blocks: all-NoOverlap reads, skip all-true). Returns
+    (h1, h2, cost, hets, pruned, summary-dict) as host arrays.
     """
     n = mesh.devices.size
-    B = alleles.shape[0]
+    B, R, V = alleles.shape
     assert B % n == 0, f"batch {B} not divisible by mesh size {n}"
-    data_sharding = NamedSharding(mesh, P("data"))
-    replicated = NamedSharding(mesh, P())
+    sharding = NamedSharding(mesh, P("data"))
+    if resets is None:
+        resets = np.zeros((B, R, V), dtype=bool)
 
-    alleles = jax.device_put(jnp.asarray(alleles), data_sharding)
-    quals = jax.device_put(jnp.asarray(quals), data_sharding)
-    skip = jax.device_put(jnp.asarray(skip), data_sharding)
+    T = V if tile is None else int(tile)
+    Vp = ((V + T - 1) // T) * T
+    if Vp > V:
+        pad = ((0, 0), (0, 0), (0, Vp - V))
+        alleles = np.pad(alleles, pad, constant_values=3)
+        quals = np.pad(quals, pad)
+        resets = np.pad(resets, pad)
+        skip = np.pad(skip, ((0, 0), (0, Vp - V)), constant_values=True)
 
-    with mesh:
-        (h1, h2, cost, hets, pruned), summary = _solve_and_summarize(
-            alleles, quals, skip, beam_width=beam_width)
-    return (np.asarray(h1), np.asarray(h2), np.asarray(cost),
-            np.asarray(hets), np.asarray(pruned),
-            {k: int(v) for k, v in summary.items()})
+    def put(arr):
+        return jax.device_put(arr, sharding)
+
+    state = tuple(put(s) for s in beam_init_state(B, R, beam_width))
+    state, traces = tiles_forward(state, alleles, quals, skip, resets,
+                                  beam_width, T, put=put)
+    cost, hets, pruned = unpack_job_stats(
+        np.asarray(pack_job_stats(state, traces)))
+    h1, h2 = tiles_backtrace(traces, skip, T, put=put)
+    h1, h2 = h1[:, :V], h2[:, :V]
+    summary = {
+        "total_cost": int(cost.sum()),
+        "total_hets": int(hets.sum()),
+        "total_pruned": int(pruned.sum()),
+        "blocks": B,
+    }
+    return h1, h2, cost, hets, pruned, summary
 
 
 def pad_batch(blocks: list[tuple[np.ndarray, np.ndarray, np.ndarray]],

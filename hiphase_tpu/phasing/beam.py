@@ -15,6 +15,23 @@ order), with expansion order 0|1, 1|0, 0/0, 1/1 and the 1|0 twin suppressed
 while a node's haplotypes are identical (symmetry breaking,
 ref: astar_phaser.rs:535-560).
 
+The device program is **variant-tiled**: one jitted ``beam_tile`` advances
+the beam over a fixed-size window of variant columns and returns the
+backtrace slices for those columns to the host. The beam state (per-slot
+running costs, totals, flags) is carried across tile calls, so a block of
+ANY variant count runs through ONE compiled program shape — there is no
+re-lowering per block size and no upper bound on block length (this replaces
+both the per-bucket jit cache and the giant-block host fallback). The final
+haplotype backtrace is a trivial host pass over the collected tile slices.
+
+Optimality accounting (ref contract: pruned == 0 ⇒ provably optimal,
+docs/user_guide.md:310): at each step the kernel also reports the number of
+discarded candidates and the *minimum cost among them*. Since extension never
+decreases cost, a candidate discarded at cost c can only finish at ≥ c;
+after the solve, discards with c > final_cost provably couldn't have beaten
+(or tied) the result, so ``pruned`` sums only the steps whose cheapest
+discard was ≤ the final cost.
+
 Everything is jittable with static shapes; blocks are padded to bucket sizes
 and batched, then sharded data-parallel over a device mesh (see
 `hiphase_tpu.parallel`).
@@ -37,14 +54,20 @@ import numpy as np
 # int32 ceiling.
 BIG = 2_147_000_000
 
+# Secondary ranking key packs (max_hets − hets, insertion order) into one
+# int32: hets in the high bits (inverted so fewer-hets ranks later), the
+# candidate's flat index (slot·4 + choice) in the low 13 bits. Bounds:
+# hets ≤ MAX_HETS (so ≤ 131071 variants per block) and beam width ≤ 2048
+# (4·W ≤ 8192 candidates).
+_ORDER_BITS = 13
+MAX_HETS = (1 << 17) - 1
+
 # Extension order: 0|1, 1|0, 0/0, 1/1 (ref: astar_phaser.rs:535-540).
 # Encoded arithmetically so no constant tables are embedded in the program:
 #   a1(c)  = c & 1                       -> [0, 1, 0, 1]
 #   a2(c)  = 1 - ((c & 1) ^ (c >> 1))    -> [1, 0, 0, 1]
 #   het(c) = 1 - (c >> 1)                -> [1, 1, 0, 0]
 #   identical-preserving(c) = c >> 1     -> [0, 0, 1, 1]
-_A1 = np.array([0, 1, 0, 1], dtype=np.int32)
-_A2 = np.array([1, 0, 0, 1], dtype=np.int32)
 
 
 def _choice_a1(c):
@@ -61,7 +84,8 @@ class BeamResult:
     h2: np.ndarray        # [B, V]
     cost: np.ndarray      # [B] int32 final MEC cost
     num_hets: np.ndarray  # [B] int32
-    pruned: np.ndarray    # [B] int32 candidates dropped; 0 ⇒ provably optimal
+    pruned: np.ndarray    # [B] int32 discards that could have ≤ final cost;
+    #                       0 ⇒ provably optimal
 
 
 def _step(state, inputs, beam_width: int):
@@ -85,19 +109,18 @@ def _step(state, inputs, beam_width: int):
     c1 = jnp.where(keep, c1, 0)
     c2 = jnp.where(keep, c2, 0)
 
+    fluid = jnp.sum(jnp.minimum(c1, c2), axis=-1, dtype=jnp.int32)  # [B, W]
     cand_cost = []
     for c in range(4):
-        d1 = jnp.where(a_j != _A1[c], q_j, 0)  # [B, R]; unset alleles have q=0
-        d2 = jnp.where(a_j != _A2[c], q_j, 0)
+        d1 = jnp.where(a_j != _choice_a1(c), q_j, 0)  # [B, R]; unset q=0
+        d2 = jnp.where(a_j != _choice_a2(c), q_j, 0)
         total = frozen + jnp.sum(
             jnp.minimum(c1 + d1[:, None, :], c2 + d2[:, None, :]),
             axis=-1, dtype=jnp.int32)  # [B, W]
         cand_cost.append(total)
     cand_cost = jnp.stack(cand_cost, axis=-1)  # [B, W, 4]
     # skipped variants extend with Ambiguous/Ambiguous at unchanged cost
-    # (recomputed from state so slot freezes this step stay consistent)
-    skip_cost = frozen + jnp.sum(jnp.minimum(c1, c2), axis=-1,
-                                 dtype=jnp.int32)
+    skip_cost = frozen + fluid
     cand_cost = jnp.where(skip[:, None, None], skip_cost[:, :, None],
                           cand_cost)
 
@@ -116,30 +139,35 @@ def _step(state, inputs, beam_width: int):
     # skipped/pad variants spawn exactly one child
     cand_valid &= (~skip[:, None, None]) | (choice_ids == 0)
 
-    # rank by (cost, -hets, insertion order); invalid → +inf
+    # rank by (cost, -hets, insertion order) via a two-key sort; the
+    # secondary key packs hets and the flat candidate index so the survivors'
+    # parent/choice/hets decode straight out of the sorted keys (one sort of
+    # two int32 operands instead of a 7-operand sort)
     order = slot_ids * 4 + choice_ids
     k_cost = jnp.where(cand_valid, cand_cost, BIG).reshape(B, W * 4)
-    k_hets = jnp.where(cand_valid, -cand_hets, BIG).reshape(B, W * 4)
-    k_order = order.reshape(B, W * 4)
-    parent_ids = slot_ids.reshape(B, W * 4)
-    choice_flat = choice_ids.reshape(B, W * 4)
-    valid_flat = cand_valid.reshape(B, W * 4)
-    ident_flat = cand_ident.reshape(B, W * 4)
+    k_sec = ((MAX_HETS - cand_hets) << _ORDER_BITS | order).reshape(B, W * 4)
+    sorted_cost, sorted_sec = jax.lax.sort((k_cost, k_sec), num_keys=2)
 
-    (_, _, _, sel_parent, sel_choice, sel_valid, sel_ident) = jax.lax.sort(
-        (k_cost, k_hets, k_order, parent_ids, choice_flat,
-         valid_flat.astype(jnp.int32), ident_flat.astype(jnp.int32)),
-        num_keys=3)
-    sel_parent = sel_parent[:, :beam_width]
-    sel_choice = sel_choice[:, :beam_width]
-    new_valid = sel_valid[:, :beam_width].astype(bool)
-    new_ident = sel_ident[:, :beam_width].astype(bool)
+    new_cost = sorted_cost[:, :beam_width]
+    sec = sorted_sec[:, :beam_width]
+    sel_flat = sec & ((1 << _ORDER_BITS) - 1)        # slot·4 + choice
+    sel_parent = sel_flat >> 2
+    sel_choice = sel_flat & 3
+    new_hets = MAX_HETS - (sec >> _ORDER_BITS)
+    new_valid = new_cost < BIG
 
-    n_valid = jnp.sum(valid_flat, axis=-1, dtype=jnp.int32)
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    new_ident = cand_ident.reshape(B, W * 4)[bidx, sel_flat]
+
+    n_valid = jnp.sum(cand_valid.reshape(B, W * 4), axis=-1, dtype=jnp.int32)
     pruned_now = jnp.maximum(n_valid - beam_width, 0)
+    # cheapest discarded candidate (the first sorted-out entry); BIG when the
+    # frontier fit in the beam — the host compares this against the final
+    # cost to decide whether optimality is still provable
+    discard_min = sorted_cost[:, beam_width] if W * 4 > beam_width \
+        else jnp.full((B,), BIG, dtype=jnp.int32)
 
     # gather the survivors' per-read costs and roll the deltas in
-    bidx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
     pc1 = c1[bidx, sel_parent]  # [B, W, R]
     pc2 = c2[bidx, sel_parent]
     new_frozen = frozen[bidx, sel_parent]
@@ -151,18 +179,147 @@ def _step(state, inputs, beam_width: int):
     new_c1 = pc1 + jnp.where(nskip, d1, 0)
     new_c2 = pc2 + jnp.where(nskip, d2, 0)
 
-    new_cost = cand_cost.reshape(B, W * 4)[bidx, sel_parent * 4 + sel_choice]
-    new_hets = cand_hets.reshape(B, W * 4)[bidx, sel_parent * 4 + sel_choice]
-
     new_state = (new_c1, new_c2, new_frozen, new_cost, new_hets, new_ident,
                  new_valid)
-    return new_state, (sel_parent, sel_choice, pruned_now)
+    return new_state, (sel_parent.astype(jnp.int16),
+                       sel_choice.astype(jnp.int8),
+                       pruned_now, discard_min)
+
+
+def beam_init_state(batch: int, num_slots: int, beam_width: int):
+    """Fresh beam state for a batch (numpy; transferred/sharded on first
+    tile call)."""
+    B, R, W = batch, num_slots, beam_width
+    valid = np.zeros((B, W), dtype=bool)
+    valid[:, 0] = True
+    return (np.zeros((B, W, R), dtype=np.int32),
+            np.zeros((B, W, R), dtype=np.int32),
+            np.zeros((B, W), dtype=np.int32),
+            np.zeros((B, W), dtype=np.int32),
+            np.zeros((B, W), dtype=np.int32),
+            np.ones((B, W), dtype=bool),
+            valid)
 
 
 @functools.partial(jax.jit, static_argnames=("beam_width",))
-def beam_solve_batch(alleles: jax.Array, quals: jax.Array, skip: jax.Array,
-                     beam_width: int = 256, resets: jax.Array | None = None):
-    """Solve a padded batch of phase blocks.
+def beam_tile(state, alleles, quals, skip, resets, beam_width: int):
+    """Advance the beam over one tile of variant columns.
+
+    Args:
+      state: carried beam state from `beam_init_state` / a prior tile.
+      alleles: [B, R, T] uint8 — 0/1 set, 2 ambiguous, 3 no-overlap.
+      quals:   [B, R, T] int32 — flip costs; 0 wherever allele unset.
+      skip:    [B, T] bool — ignored variants and padding columns.
+      resets:  [B, R, T] bool — slot handoffs (fold + restart before column).
+      beam_width: static beam width.
+
+    Returns (state, (parents [T,B,W] i16, choices [T,B,W] i8,
+    pruned_cnt [T,B] i32, discard_min [T,B] i32)).
+    """
+    xs = (jnp.moveaxis(alleles.astype(jnp.int32), 2, 0),   # [T, B, R]
+          jnp.moveaxis(quals.astype(jnp.int32), 2, 0),
+          jnp.moveaxis(skip, 1, 0),                         # [T, B]
+          jnp.moveaxis(resets, 2, 0))                       # [T, B, R]
+    step = functools.partial(_step, beam_width=beam_width)
+    return jax.lax.scan(step, state, xs)
+
+
+@jax.jit
+def backtrace_tile(slot, parents, choices, skip):
+    """Device backtrace over one tile, newest-to-oldest.
+
+    The forward trace arrays ([T, B, W] per tile) stay in HBM — only the
+    [T, B] haplotype slices and the [B] carried slot cross back to the host,
+    which matters on backends where device→host bandwidth is the bottleneck.
+
+    Args: slot [B] i32 (carried; zeros to start from the final argmin),
+    parents [T,B,W] i16, choices [T,B,W] i8, skip [B,T] bool.
+    Returns (slot, h1 [T,B] u8, h2 [T,B] u8).
+    """
+    def back(slot, inp):
+        par_j, cho_j, skip_j = inp  # [B, W], [B, W], [B]
+        bidx = jax.lax.broadcasted_iota(jnp.int32, (par_j.shape[0],), 0)
+        ch = cho_j[bidx, slot].astype(jnp.int32)
+        h1 = jnp.where(skip_j, 2, ch & 1).astype(jnp.uint8)
+        h2 = jnp.where(skip_j, 2, 1 - ((ch & 1) ^ (ch >> 1))).astype(jnp.uint8)
+        return par_j[bidx, slot].astype(jnp.int32), (h1, h2)
+
+    slot, (h1, h2) = jax.lax.scan(
+        back, slot, (parents, choices, jnp.moveaxis(skip, 1, 0)),
+        reverse=True)
+    return slot, h1, h2
+
+
+def tiles_forward(state, alleles, quals, skip, resets, beam_width: int,
+                  tile: int, put=lambda x: x):
+    """Run the forward tile chain; returns (state, traces) with traces
+    device-resident (one (parents, choices, pruned_cnt, discard_min) tuple
+    per tile). ``put`` places host arrays (e.g. with a mesh sharding)."""
+    Vp = alleles.shape[2]
+    traces = []
+    for t0 in range(0, Vp, tile):
+        sl = slice(t0, t0 + tile)
+        state, ys = beam_tile(state, put(alleles[:, :, sl]),
+                              put(quals[:, :, sl]), put(skip[:, sl]),
+                              put(resets[:, :, sl]), beam_width=beam_width)
+        traces.append(ys)
+    return state, traces
+
+
+def tiles_backtrace(traces, skip, tile: int, put=lambda x: x
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Device backtrace over the stored tile traces (newest first); returns
+    host (h1, h2) each [B, Vp] uint8.
+
+    All per-tile haplotype slices stay on device and come back in ONE
+    transfer — device→host round-trips are latency-bound on tunneled
+    backends, so transfer count (not bytes) is what this minimizes."""
+    B = skip.shape[0]
+    slot = put(np.zeros(B, dtype=np.int32))
+    h1_parts = []
+    h2_parts = []
+    for i in range(len(traces) - 1, -1, -1):
+        parents, choices = traces[i][0], traces[i][1]
+        sl = slice(i * tile, (i + 1) * tile)
+        slot, h1t, h2t = backtrace_tile(slot, parents, choices,
+                                        put(skip[:, sl]))
+        h1_parts.append(h1t)
+        h2_parts.append(h2t)
+    h1_parts.reverse()
+    h2_parts.reverse()
+    packed = np.asarray(jnp.concatenate(h1_parts + h2_parts, axis=0))
+    Vp = packed.shape[0] // 2
+    return packed[:Vp].T, packed[Vp:].T
+
+
+def pack_job_stats(state, traces):
+    """Device-side packing of (cost, hets, pruned_cnt, discard_min) into one
+    int32 array [2 + 2·Vp, B] so materialization is a single transfer."""
+    cost = state[3][:, 0].astype(jnp.int32)
+    hets = state[4][:, 0].astype(jnp.int32)
+    cnt = [t[2] for t in traces]
+    dmin = [t[3] for t in traces]
+    return jnp.concatenate([cost[None], hets[None]] + cnt + dmin, axis=0)
+
+
+def unpack_job_stats(packed: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host side of `pack_job_stats`: returns (cost, hets, pruned).
+
+    Pruned accounting: a discard at cost > the final cost can never have
+    beaten or tied the result, so it doesn't spoil provable optimality."""
+    cost = packed[0]
+    hets = packed[1]
+    Vp = (packed.shape[0] - 2) // 2
+    cnt = packed[2:2 + Vp]
+    dmin = packed[2 + Vp:]
+    pruned = np.sum(cnt * (dmin <= cost[None, :]), axis=0).astype(np.int32)
+    return cost, hets, pruned
+
+
+def beam_solve_batch(alleles, quals, skip, beam_width: int = 256,
+                     resets=None, tile: int | None = None):
+    """Solve a padded batch of phase blocks via the tiled device kernel.
 
     Args:
       alleles: [B, R, V] uint8 — 0/1 set, 2 ambiguous, 3 no-overlap. The R
@@ -171,62 +328,50 @@ def beam_solve_batch(alleles: jax.Array, quals: jax.Array, skip: jax.Array,
       quals:   [B, R, V] int32 — flip costs; 0 wherever allele unset.
       skip:    [B, V] bool — true for ignored variants AND padding columns
         (j >= num_variants of the block).
-      beam_width: static beam width.
+      beam_width: beam width (the effective queue size;
+        ref: astar_phaser.rs:451-502).
       resets:  [B, R, V] bool — slot s finishes its previous read before
         column v (fold min cost into frozen, restart slot). None → no reuse.
+      tile: variant-tile size; columns are processed in ceil(V/tile) calls
+        of one compiled shape. None → a single tile of exactly V columns.
 
     Returns (h1, h2, cost, num_hets, pruned) — see BeamResult.
     """
+    alleles = np.asarray(alleles)
+    quals = np.asarray(quals)
+    skip = np.asarray(skip)
     B, R, V = alleles.shape
-    W = beam_width
     if resets is None:
-        resets = jnp.zeros((B, R, V), dtype=bool)
-    c1 = jnp.zeros((B, W, R), dtype=jnp.int32)
-    c2 = jnp.zeros((B, W, R), dtype=jnp.int32)
-    frozen = jnp.zeros((B, W), dtype=jnp.int32)
-    cost = jnp.zeros((B, W), dtype=jnp.int32)
-    hets = jnp.zeros((B, W), dtype=jnp.int32)
-    identical = jnp.ones((B, W), dtype=bool)
-    valid = jnp.zeros((B, W), dtype=bool).at[:, 0].set(True)
+        resets = np.zeros((B, R, V), dtype=bool)
+    else:
+        resets = np.asarray(resets)
 
-    xs = (jnp.moveaxis(alleles.astype(jnp.int32), 2, 0),   # [V, B, R]
-          jnp.moveaxis(quals.astype(jnp.int32), 2, 0),
-          jnp.moveaxis(skip, 1, 0),                         # [V, B]
-          jnp.moveaxis(resets, 2, 0))                       # [V, B, R]
-    step = functools.partial(_step, beam_width=W)
-    (c1, c2, frozen, cost, hets, identical, valid), ys = jax.lax.scan(
-        step, (c1, c2, frozen, cost, hets, identical, valid), xs)
-    parents, choices, pruned_steps = ys  # [V, B, W], [V, B, W], [V, B]
+    T = V if tile is None else int(tile)
+    Vp = ((V + T - 1) // T) * T if T > 0 else V
+    if Vp > V:
+        pad = ((0, 0), (0, 0), (0, Vp - V))
+        alleles = np.pad(alleles, pad, constant_values=3)
+        quals = np.pad(quals, pad)
+        resets = np.pad(resets, pad)
+        skip = np.pad(skip, ((0, 0), (0, Vp - V)), constant_values=True)
 
-    # backtrace from slot 0 (the sorted argmin) to recover the haplotypes
-    def back(slot, inp):
-        par_j, cho_j, skip_j = inp  # [B, W], [B, W], [B]
-        bidx = jax.lax.broadcasted_iota(jnp.int32, (par_j.shape[0],), 0)
-        ch = cho_j[bidx, slot]
-        a1 = jnp.where(skip_j, 2, _choice_a1(ch)).astype(jnp.uint8)
-        a2 = jnp.where(skip_j, 2, _choice_a2(ch)).astype(jnp.uint8)
-        return par_j[bidx, slot], (a1, a2)
-
-    slot0 = jnp.zeros(B, dtype=jnp.int32)
-    _, (h1_rev, h2_rev) = jax.lax.scan(
-        back, slot0, (parents, choices, jnp.moveaxis(skip, 1, 0)),
-        reverse=True)
-    h1 = jnp.moveaxis(h1_rev, 0, 1)  # [B, V]
-    h2 = jnp.moveaxis(h2_rev, 0, 1)
-
-    return h1, h2, cost[:, 0], hets[:, 0], jnp.sum(pruned_steps, axis=0)
+    state = beam_init_state(B, R, beam_width)
+    state, traces = tiles_forward(state, alleles, quals, skip, resets,
+                                  beam_width, T)
+    cost, hets, pruned = unpack_job_stats(
+        np.asarray(pack_job_stats(state, traces)))
+    h1, h2 = tiles_backtrace(traces, skip, T)
+    return h1[:, :V], h2[:, :V], cost, hets, pruned
 
 
 def solve_blocks(alleles: np.ndarray, quals: np.ndarray, skip: np.ndarray,
                  beam_width: int = 256,
-                 resets: np.ndarray | None = None) -> BeamResult:
-    """Host wrapper: run the jitted batch solver and materialize results."""
+                 resets: np.ndarray | None = None,
+                 tile: int | None = None) -> BeamResult:
+    """Host wrapper: run the tiled batch solver and materialize results."""
     h1, h2, cost, hets, pruned = beam_solve_batch(
-        jnp.asarray(alleles), jnp.asarray(quals), jnp.asarray(skip),
-        beam_width=beam_width,
-        resets=None if resets is None else jnp.asarray(resets))
-    return BeamResult(np.asarray(h1), np.asarray(h2), np.asarray(cost),
-                      np.asarray(hets), np.asarray(pruned))
+        alleles, quals, skip, beam_width=beam_width, resets=resets, tile=tile)
+    return BeamResult(h1, h2, cost, hets, pruned)
 
 
 def assign_slots(read_segments) -> tuple[list[int], int]:

@@ -219,6 +219,11 @@ class PhaseBlockIterator:
             raise BlockGenError("Contig sets in the VCF files do not match")
         self.contigs = self.vcf_readers[0].header.contigs()
         self.bam_readers = [BamReader(p) for p in bam_paths]
+        # one-pass native span index replaces per-variant BAM fetches; the
+        # fetch-based path below remains as the no-native fallback (and the
+        # parity oracle, tests/test_span_index.py)
+        from hiphase_tpu.io.span_index import BamSpanIndex
+        self._span_indexes = [BamSpanIndex(p, min_mapq) for p in bam_paths]
         self.min_quality = min_quality
         self.min_mapq = min_mapq
         self.min_spanning_reads = min_spanning_reads
@@ -238,23 +243,50 @@ class PhaseBlockIterator:
                 return bam.header.ref_lengths[tid]
         return U64_MAX
 
+    def _chrom_spans(self, chrom: str):
+        """Per-BAM ChromSpans via the one-pass native index, or None to use
+        the per-locus fetch fallback."""
+        spans = []
+        for idx in self._span_indexes:
+            cs = idx.chrom(chrom)
+            if cs is None:
+                return None
+            spans.append(cs)
+        return spans
+
     def get_longest_multispan(self, chrom: str, pos: int) -> int:
         """End of the ``min_spanning_reads``-th farthest filtered read covering
         ``pos``; ``pos`` itself when not enough reads (ref: block_gen.rs:630-669)."""
+        import numpy as np
+        k = self.min_spanning_reads
+        spans = self._chrom_spans(chrom)
+        if spans is not None:
+            ends = np.concatenate([s.covering_ends(pos) for s in spans])
+            if len(ends) < k:
+                return pos
+            return int(np.partition(ends, len(ends) - k)[len(ends) - k])
         span_list = []
         for bam in self.bam_readers:
             for read in bam.fetch(chrom, pos, pos + 1):
                 if filter_out_alignment_record(read, self.min_mapq):
                     continue
                 span_list.append(read.reference_end())
-        if len(span_list) < self.min_spanning_reads:
+        if len(span_list) < k:
             return pos
         span_list.sort()
-        return span_list[len(span_list) - self.min_spanning_reads]
+        return span_list[len(span_list) - k]
 
     def get_next_mapped(self, chrom: str, pos: int) -> int:
         """Position of the ``min_spanning_reads``-th next filtered read start
         after ``pos`` (ref: block_gen.rs:675-716)."""
+        import numpy as np
+        k = self.min_spanning_reads
+        spans = self._chrom_spans(chrom)
+        if spans is not None:
+            starts = np.concatenate([s.next_starts(pos, k) for s in spans])
+            if len(starts) >= k:
+                return int(np.partition(starts, k - 1)[k - 1])
+            return U64_MAX
         next_positions = []
         end = self._contig_length(chrom)
         for bam in self.bam_readers:
@@ -264,11 +296,11 @@ class PhaseBlockIterator:
                     continue
                 next_positions.append(read.pos)
                 counted += 1
-                if counted >= self.min_spanning_reads:
+                if counted >= k:
                     break
-        if len(next_positions) >= self.min_spanning_reads:
+        if len(next_positions) >= k:
             next_positions.sort()
-            return next_positions[self.min_spanning_reads - 1]
+            return next_positions[k - 1]
         return U64_MAX
 
     def is_supplemental_overlap(self, chrom: str, pos: int,
@@ -277,6 +309,19 @@ class PhaseBlockIterator:
         alignment) intervals overlap the block (ref: block_gen.rs:722-799).
         The SA start is used as parsed (1-based in the tag) for parity with
         the reference."""
+        import numpy as np
+        spans = self._chrom_spans(chrom)
+        if spans is not None:
+            overlap_count = 0
+            for s in spans:
+                sa_s, sa_e, sa_q, rows = s.sa_entries(pos)
+                if not len(rows):
+                    continue
+                hit = ((sa_q >= self.min_mapq)
+                       & (np.maximum(phase_block.start, sa_s)
+                          < np.minimum(phase_block.end + 1, sa_e)))
+                overlap_count += len(np.unique(rows[hit]))
+            return overlap_count >= self.min_spanning_reads
         overlap_count = 0
         for bam in self.bam_readers:
             for read in bam.fetch(chrom, pos, pos + 1):

@@ -766,3 +766,207 @@ int64_t hn_wfa_build(const uint8_t* reference, int64_t ref_start,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BAM record stream scanner (block-generation span index).
+//
+// The reference's block generator issues one indexed BAM fetch per candidate
+// variant (ref: src/block_gen.rs:630-669), which htslib makes cheap. The TPU
+// build instead scans each BAM ONCE into compact per-record span arrays and
+// answers the same queries (multispan, next-mapped, supplemental overlap)
+// with vectorized host lookups. This function walks a decompressed BAM
+// record stream (must begin at a record boundary) and emits one row per
+// complete record; the caller carries the trailing partial record into the
+// next call.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Reference-consumed length of a CIGAR op (ops M/D/N/=/X: codes 0,2,3,7,8).
+inline bool cigar_consumes_ref(uint32_t op) {
+  return op == 0 || op == 2 || op == 3 || op == 7 || op == 8;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Scan complete BAM records from `raw` (length `len`).
+//   name_blob/name_off/n_ref: reference-name table (for SA rname matching;
+//     entry i = name_blob[name_off[i] .. name_off[i+1])).
+//   tid/pos/end_/mapq/flag: per-record outputs, capacity `cap`.
+//   sa_rec/sa_start/sa_end/sa_mapq: SA-tag intervals whose rname equals the
+//     record's own reference name (the only case block generation queries,
+//     ref: block_gen.rs:722-799). sa_rec is the record's index within THIS
+//     call. sa_start stays 1-based exactly as the tag stores it (parity
+//     with the reference's use). Capacity `sa_cap`; count in sa_count[0].
+//   consumed[0]: bytes of `raw` consumed (offset of first incomplete rec).
+// Returns the number of records emitted; -1 record capacity exceeded;
+// -2 SA capacity exceeded; -3 malformed record/SA (caller falls back).
+int64_t hn_bam_scan_records(
+    const uint8_t* raw, int64_t len,
+    const uint8_t* name_blob, const int64_t* name_off, int32_t n_ref,
+    int32_t* tid, int32_t* pos, int32_t* end_, uint8_t* mapq, uint16_t* flag,
+    int64_t cap,
+    int64_t* sa_rec, int32_t* sa_start, int32_t* sa_end, int32_t* sa_mapq,
+    int64_t sa_cap, int64_t* sa_count,
+    int64_t* consumed) {
+  int64_t off = 0;
+  int64_t n = 0;
+  int64_t n_sa = 0;
+  while (off + 4 <= len) {
+    uint32_t block_size;
+    std::memcpy(&block_size, raw + off, 4);
+    if (block_size < 32) return -3;
+    if (off + 4 + block_size > len) break;  // partial record: stop here
+    if (n >= cap) return -1;
+    const uint8_t* rec = raw + off + 4;
+    int32_t refid, rpos;
+    std::memcpy(&refid, rec, 4);
+    std::memcpy(&rpos, rec + 4, 4);
+    uint8_t l_read_name = rec[8];
+    uint8_t rmapq = rec[9];
+    uint16_t n_cigar, rflag;
+    std::memcpy(&n_cigar, rec + 12, 2);
+    std::memcpy(&rflag, rec + 14, 2);
+    uint32_t l_seq;
+    std::memcpy(&l_seq, rec + 16, 4);
+
+    int64_t cigar_off = 32 + l_read_name;
+    int64_t seq_off = cigar_off + 4LL * n_cigar;
+    int64_t qual_off = seq_off + (l_seq + 1) / 2;
+    int64_t aux_off = qual_off + l_seq;
+    if (aux_off > block_size) return -3;
+
+    int64_t ref_len = 0;
+    for (int i = 0; i < n_cigar; ++i) {
+      uint32_t v;
+      std::memcpy(&v, rec + cigar_off + 4LL * i, 4);
+      if (cigar_consumes_ref(v & 0xF)) ref_len += v >> 4;
+    }
+    tid[n] = refid;
+    pos[n] = rpos;
+    end_[n] = rpos + static_cast<int32_t>(ref_len);
+    mapq[n] = rmapq;
+    flag[n] = rflag;
+
+    // aux walk: find SA:Z entries (rare) matching the record's own chrom
+    const uint8_t* my_name = nullptr;
+    int64_t my_name_len = 0;
+    if (refid >= 0 && refid < n_ref) {
+      my_name = name_blob + name_off[refid];
+      my_name_len = name_off[refid + 1] - name_off[refid];
+    }
+    int64_t a = aux_off;
+    while (a + 3 <= block_size) {
+      char t0 = static_cast<char>(rec[a]);
+      char t1 = static_cast<char>(rec[a + 1]);
+      char tc = static_cast<char>(rec[a + 2]);
+      int64_t vs = a + 3;
+      int64_t ve;
+      switch (tc) {
+        case 'A': case 'c': case 'C': ve = vs + 1; break;
+        case 's': case 'S': ve = vs + 2; break;
+        case 'i': case 'I': case 'f': ve = vs + 4; break;
+        case 'Z': case 'H': {
+          ve = vs;
+          while (ve < block_size && rec[ve] != 0) ++ve;
+          if (ve >= block_size) return -3;
+          ++ve;  // include NUL
+          break;
+        }
+        case 'B': {
+          if (vs + 5 > block_size) return -3;
+          char sub = static_cast<char>(rec[vs]);
+          uint32_t count;
+          std::memcpy(&count, rec + vs + 1, 4);
+          int w;
+          switch (sub) {
+            case 'c': case 'C': w = 1; break;
+            case 's': case 'S': w = 2; break;
+            case 'i': case 'I': case 'f': w = 4; break;
+            default: return -3;
+          }
+          ve = vs + 5 + static_cast<int64_t>(w) * count;
+          break;
+        }
+        default: return -3;
+      }
+      if (ve > block_size) return -3;
+      if (t0 == 'S' && t1 == 'A' && tc == 'Z' && my_name != nullptr) {
+        // parse "rname,pos,strand,cigar,mapQ,NM;..." entries
+        int64_t p = vs;
+        int64_t zend = ve - 1;  // NUL
+        while (p < zend) {
+          int64_t entry_end = p;
+          while (entry_end < zend && rec[entry_end] != ';') ++entry_end;
+          // field 0: rname
+          int64_t f = p;
+          while (f < entry_end && rec[f] != ',') ++f;
+          bool chrom_match =
+              (f - p == my_name_len) &&
+              std::memcmp(rec + p, my_name, my_name_len) == 0;
+          if (chrom_match) {
+            if (f >= entry_end) return -3;
+            int64_t q = f + 1;
+            int64_t spos = 0;
+            while (q < entry_end && rec[q] != ',') {
+              uint8_t ch = rec[q];
+              if (ch < '0' || ch > '9') return -3;
+              spos = spos * 10 + (ch - '0');
+              ++q;
+            }
+            if (q >= entry_end) return -3;
+            ++q;  // skip strand field
+            while (q < entry_end && rec[q] != ',') ++q;
+            if (q >= entry_end) return -3;
+            ++q;
+            // cigar: accumulate reference-consumed ops (M/D/=/X advance,
+            // S/I don't, anything else is malformed — parity with the
+            // Python/block_gen parser)
+            int64_t span = 0;
+            int64_t num = 0;
+            while (q < entry_end && rec[q] != ',') {
+              uint8_t ch = rec[q];
+              if (ch >= '0' && ch <= '9') {
+                num = num * 10 + (ch - '0');
+              } else {
+                if (ch == 'M' || ch == 'D' || ch == '=' || ch == 'X') {
+                  span += num;
+                } else if (ch != 'S' && ch != 'I') {
+                  return -3;
+                }
+                num = 0;
+              }
+              ++q;
+            }
+            if (q >= entry_end) return -3;
+            ++q;
+            int64_t smapq = 0;
+            while (q < entry_end && rec[q] != ',') {
+              uint8_t ch = rec[q];
+              if (ch < '0' || ch > '9') return -3;
+              smapq = smapq * 10 + (ch - '0');
+              ++q;
+            }
+            if (n_sa >= sa_cap) return -2;
+            sa_rec[n_sa] = n;
+            sa_start[n_sa] = static_cast<int32_t>(spos);
+            sa_end[n_sa] = static_cast<int32_t>(spos + span);
+            sa_mapq[n_sa] = static_cast<int32_t>(smapq);
+            ++n_sa;
+          }
+          p = entry_end + 1;
+        }
+      }
+      a = ve;
+    }
+    ++n;
+    off += 4 + block_size;
+  }
+  sa_count[0] = n_sa;
+  consumed[0] = off;
+  return n;
+}
+
+}  // extern "C"
