@@ -231,21 +231,34 @@ def _main(argv=None) -> int:
             allow_supplemental_joins=not args.disable_supplemental_joins))
     block_iterator = MultiPhaseBlockIterator(block_iterators)
 
+    # multi-host: every process runs the same program; blocks are sharded
+    # round-robin by host and results replay to host 0, which alone runs
+    # the writers (SURVEY.md §2.9/§5.8)
+    multihost = False
+    is_writer_host = True
+    if args.engine == "tpu":
+        import jax
+        if jax.process_count() > 1:
+            multihost = True
+            is_writer_host = jax.process_index() == 0
+
     # writers (ref: main.rs:153-234)
-    vcf_writer = OrderedVcfWriter(
+    vcf_writer = None if not is_writer_host else OrderedVcfWriter(
         args.vcfs, args.output_vcfs, args.min_variant_quality, sample_names,
         program_version=full_version(), command_line=command_line,
         csi=args.csi_index, io_threads=args.io_threads)
     bam_writers: dict[str, OrderedBamWriter] = {}
-    if args.output_bams:
+    if args.output_bams and is_writer_host:
         for sample_name in sample_names:
             bam_writers[sample_name] = OrderedBamWriter(
                 sample_name, sample_to_bams[sample_name],
                 sample_to_output_bams[sample_name],
                 program_version=full_version(), command_line=command_line,
                 io_threads=args.io_threads)
-    stats_writer = StatsWriter(args.stats_file) if args.stats_file else None
-    haplotag_writer = HaplotagWriter(args.haplotag_file) if args.haplotag_file else None
+    stats_writer = StatsWriter(args.stats_file) \
+        if args.stats_file and is_writer_host else None
+    haplotag_writer = HaplotagWriter(args.haplotag_file) \
+        if args.haplotag_file and is_writer_host else None
     block_collector = BlockStatsCollector()
 
     logger.info("Loading reference genome...")
@@ -333,16 +346,40 @@ def _main(argv=None) -> int:
             beam_width=args.beam_width, batch_size=args.batch_size,
             min_queue_size=args.phase_min_queue_size,
             queue_increment=args.phase_queue_increment)
-        for kind, item in iter_prepared(windowed(block_iterator), prepare_fn,
-                                        create_unphased_result, should_solve,
-                                        threads=args.threads):
-            if kind == "unphased":
-                emit(*create_unphased_result(item))
-            else:
-                for pr, hr in device_solver.submit(item):
+        if multihost:
+            # every host walks the SAME global stream (the collective
+            # cadence must line up), solves its round-robin shard, and
+            # replays results to host 0's writers
+            from hiphase_tpu.parallel.multihost import (
+                ResultReplay, blocks_for_host)
+
+            replay = ResultReplay()
+            for block in windowed(block_iterator):
+                if should_solve(block):
+                    if blocks_for_host(block.block_index):
+                        for pr, hr in device_solver.submit(prepare_fn(block)):
+                            replay.stash((pr, hr))
+                elif is_writer_host:
+                    emit(*create_unphased_result(block))
+                for pr, hr in replay.tick():
                     emit(pr, hr)
-        for pr, hr in device_solver.drain():
-            emit(pr, hr)
+            for pr, hr in device_solver.drain():
+                replay.stash((pr, hr))
+            for pr, hr in replay.finish():
+                emit(pr, hr)
+        else:
+            for kind, item in iter_prepared(windowed(block_iterator),
+                                            prepare_fn,
+                                            create_unphased_result,
+                                            should_solve,
+                                            threads=args.threads):
+                if kind == "unphased":
+                    emit(*create_unphased_result(item))
+                else:
+                    for pr, hr in device_solver.submit(item):
+                        emit(pr, hr)
+            for pr, hr in device_solver.drain():
+                emit(pr, hr)
     elif args.threads > 1:
         # worker pool of solve_block processes with bounded in-flight window
         # and fail-fast error propagation (ref: main.rs:325-462); fork shares
@@ -403,7 +440,9 @@ def _main(argv=None) -> int:
             emit(phase_result, haplotag_result)
 
     # finalization (ref: main.rs:464-570)
-    if not debug_run:
+    if not is_writer_host:
+        pass  # only host 0 owns output files (SURVEY.md §2.9)
+    elif not debug_run:
         vcf_writer.write_to_end_position()
         vcf_writer.close()
         vcf_writer.write_indexes()

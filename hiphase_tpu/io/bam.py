@@ -334,6 +334,58 @@ class BamReader:
                         and rec.pos < end and rec.reference_end() > start:
                     yield rec
 
+    def fetch_raw(self, chrom: str, start: int, end: int, min_mapq: int):
+        """Bulk region fetch for the native block realigner: one parallel
+        inflate + one native record walk per index chunk instead of
+        per-record Python decode.
+
+        Returns a list of (buf, rec_off, rec_size) for records that overlap
+        [start, end), pass the flag mask, and meet ``min_mapq`` — the same
+        set `fetch` + `filter_out_alignment_record` yields — or None when
+        the native library (or the index) is unavailable.
+        """
+        from hiphase_tpu.io import native
+        import numpy as np
+        if self._index is None or not native.available():
+            return None
+        tid = self.tid(chrom)
+        if tid < 0:
+            return []
+        names = [n.encode() for n in self.header.ref_names]
+        name_off = np.zeros(len(names) + 1, dtype=np.int64)
+        for i, nb in enumerate(names):
+            name_off[i + 1] = name_off[i] + len(nb)
+        name_blob = np.frombuffer(b"".join(names) or b"\x00", dtype=np.uint8)
+        if not hasattr(self, "_rawfh") or self._rawfh is None:
+            self._rawfh = open(self.path, "rb")
+        out = []
+        # unmapped|secondary|qcfail|duplicate (ref: block_gen.rs:96-101)
+        bad_flags = 0x4 | 0x100 | 0x200 | 0x400
+        for cbeg, cend in self._index.query(tid, start, end):
+            c0 = cbeg >> 16
+            c1 = cend >> 16
+            self._rawfh.seek(c1)
+            head = self._rawfh.read(18)
+            span_end = c1
+            if (cend & 0xFFFF) and len(head) >= 18:
+                span_end = c1 + (struct.unpack_from("<H", head, 16)[0] + 1)
+            self._rawfh.seek(c0)
+            comp = self._rawfh.read(max(span_end - c0, 0))
+            raw = native.bgzf_decompress_all_arr(comp)
+            if raw is None:
+                return None
+            raw = raw[cbeg & 0xFFFF:]
+            scan = native.bam_scan_records(raw, name_blob, name_off)
+            if scan is None:
+                return None
+            (rtid, pos, rend, mapq, flag, rec_off, rec_size,
+             *_sa, _consumed) = scan
+            keep = ((rtid == tid) & (pos < end) & (rend > start)
+                    & ((flag & bad_flags) == 0) & (mapq >= min_mapq))
+            if keep.any():
+                out.append((raw, rec_off[keep], rec_size[keep]))
+        return out
+
     def fetch_unmapped(self):
         """Yield fully unplaced records (refid < 0) at the file tail."""
         for rec in self:

@@ -67,9 +67,10 @@ def bam_scan_records(raw: np.ndarray, name_blob: np.ndarray,
                      name_off: np.ndarray):
     """Walk a decompressed BAM record stream (starting at a record boundary).
 
-    Returns (tid, pos, end, mapq, flag, sa_rec, sa_start, sa_end, sa_mapq,
-    consumed_bytes) or None when the native library is unavailable or the
-    stream is malformed (callers fall back to the Python reader).
+    Returns (tid, pos, end, mapq, flag, rec_off, rec_size, sa_rec, sa_start,
+    sa_end, sa_mapq, consumed_bytes) or None when the native library is
+    unavailable or the stream is malformed (callers fall back to the Python
+    reader). rec_off points at each record body (after its size prefix).
     """
     lib = _load()
     if lib is None:
@@ -85,6 +86,8 @@ def bam_scan_records(raw: np.ndarray, name_blob: np.ndarray,
     end = np.empty(cap, dtype=np.int32)
     mapq = np.empty(cap, dtype=np.uint8)
     flag = np.empty(cap, dtype=np.uint16)
+    rec_off = np.empty(cap, dtype=np.int64)
+    rec_size = np.empty(cap, dtype=np.int64)
     sa_rec = np.empty(sa_cap, dtype=np.int64)
     sa_start = np.empty(sa_cap, dtype=np.int32)
     sa_end = np.empty(sa_cap, dtype=np.int32)
@@ -102,7 +105,9 @@ def bam_scan_records(raw: np.ndarray, name_blob: np.ndarray,
             ctypes.c_void_p(tid.ctypes.data), ctypes.c_void_p(pos.ctypes.data),
             ctypes.c_void_p(end.ctypes.data),
             ctypes.c_void_p(mapq.ctypes.data),
-            ctypes.c_void_p(flag.ctypes.data), ctypes.c_int64(cap),
+            ctypes.c_void_p(flag.ctypes.data),
+            ctypes.c_void_p(rec_off.ctypes.data),
+            ctypes.c_void_p(rec_size.ctypes.data), ctypes.c_int64(cap),
             ctypes.c_void_p(sa_rec.ctypes.data),
             ctypes.c_void_p(sa_start.ctypes.data),
             ctypes.c_void_p(sa_end.ctypes.data),
@@ -118,6 +123,8 @@ def bam_scan_records(raw: np.ndarray, name_blob: np.ndarray,
             end = np.empty(cap, dtype=np.int32)
             mapq = np.empty(cap, dtype=np.uint8)
             flag = np.empty(cap, dtype=np.uint16)
+            rec_off = np.empty(cap, dtype=np.int64)
+            rec_size = np.empty(cap, dtype=np.int64)
             continue
         if n == -2:
             sa_cap *= 2
@@ -130,8 +137,57 @@ def bam_scan_records(raw: np.ndarray, name_blob: np.ndarray,
     n = int(n)
     ns = int(sa_count[0])
     return (tid[:n].copy(), pos[:n].copy(), end[:n].copy(), mapq[:n].copy(),
-            flag[:n].copy(), sa_rec[:ns].copy(), sa_start[:ns].copy(),
+            flag[:n].copy(), rec_off[:n].copy(), rec_size[:n].copy(),
+            sa_rec[:ns].copy(), sa_start[:ns].copy(),
             sa_end[:ns].copy(), sa_mapq[:ns].copy(), int(consumed[0]))
+
+
+def realign_block(raw: np.ndarray, rec_off: np.ndarray, rec_size: np.ndarray,
+                  pack, sv_indel_qual: int, threads: int = 2):
+    """Native whole-block local realignment: every record against the
+    block's VariantPack. Returns (alleles [n_recs, n_vars] u8, quals u8,
+    noverlap i32, stats int64[5*11+3]) or None when unavailable/malformed."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_hn_realign_sig", False):
+        lib.hn_realign_block.restype = ctypes.c_int64
+        lib._hn_realign_sig = True
+    n_recs = len(rec_off)
+    n_vars = pack.n
+    alleles = np.empty((n_recs, n_vars), dtype=np.uint8)
+    quals = np.empty((n_recs, n_vars), dtype=np.uint8)
+    noverlap = np.zeros(n_recs, dtype=np.int32)
+    stats = np.zeros(5 * 11 + 3, dtype=np.int64)
+    ignored = np.ascontiguousarray(pack.ignored, dtype=np.uint8)
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    rec_off = np.ascontiguousarray(rec_off, dtype=np.int64)
+    rec_size = np.ascontiguousarray(rec_size, dtype=np.int64)
+    rc = lib.hn_realign_block(
+        ctypes.c_void_p(raw.ctypes.data),
+        ctypes.c_void_p(rec_off.ctypes.data),
+        ctypes.c_void_p(rec_size.ctypes.data), ctypes.c_int64(n_recs),
+        ctypes.c_int32(n_vars),
+        ctypes.c_void_p(pack.pos.ctypes.data),
+        ctypes.c_void_p(pack.ref_len.ctypes.data),
+        ctypes.c_void_p(pack.prefix.ctypes.data),
+        ctypes.c_void_p(pack.postfix.ctypes.data),
+        ctypes.c_void_p(ignored.ctypes.data),
+        ctypes.c_void_p(pack.vt_index.ctypes.data),
+        ctypes.c_void_p(pack.blob.ctypes.data),
+        ctypes.c_void_p(pack.a0_off.ctypes.data),
+        ctypes.c_void_p(pack.a0_len.ctypes.data),
+        ctypes.c_void_p(pack.a1_off.ctypes.data),
+        ctypes.c_void_p(pack.a1_len.ctypes.data),
+        ctypes.c_void_p(pack.baseline.ctypes.data),
+        ctypes.c_int32(sv_indel_qual), ctypes.c_int32(threads),
+        ctypes.c_void_p(alleles.ctypes.data),
+        ctypes.c_void_p(quals.ctypes.data),
+        ctypes.c_void_p(noverlap.ctypes.data),
+        ctypes.c_void_p(stats.ctypes.data))
+    if rc != 0:
+        return None
+    return alleles, quals, noverlap, stats
 
 
 def bgzf_compress_blocks(payloads: list[bytes], level: int = 6,
@@ -157,17 +213,18 @@ def bgzf_compress_blocks(payloads: list[bytes], level: int = 6,
     return out[:total].tobytes()
 
 
-def bgzf_decompress_all(data: bytes, threads: int = 4) -> bytes | None:
-    """Scan + decompress an entire BGZF byte stream in parallel.
-    Returns None when unavailable or on malformed input."""
+def bgzf_decompress_all_arr(data, threads: int = 4) -> np.ndarray | None:
+    """Scan + decompress an entire BGZF byte stream in parallel, returning a
+    uint8 array (no copy-out). None when unavailable or malformed."""
     lib = _load()
     if lib is None:
         return None
-    src = np.frombuffer(data, dtype=np.uint8)
-    max_blocks = max(len(data) // 26 + 2, 16)
+    src = np.frombuffer(data, dtype=np.uint8) \
+        if not isinstance(data, np.ndarray) else np.ascontiguousarray(data)
+    max_blocks = max(len(src) // 26 + 2, 16)
     offsets = np.zeros(max_blocks + 1, dtype=np.int64)
     isizes = np.zeros(max_blocks, dtype=np.int64)
-    n = lib.hn_bgzf_scan(src.ctypes.data, len(data), offsets.ctypes.data,
+    n = lib.hn_bgzf_scan(src.ctypes.data, len(src), offsets.ctypes.data,
                          isizes.ctypes.data, max_blocks)
     if n < 0:
         return None
@@ -179,7 +236,13 @@ def bgzf_decompress_all(data: bytes, threads: int = 4) -> bytes | None:
         out.ctypes.data, out_offsets.ctypes.data, threads)
     if rc != 0:
         return None
-    return out.tobytes()
+    return out
+
+
+def bgzf_decompress_all(data: bytes, threads: int = 4) -> bytes | None:
+    """Bytes-returning wrapper over `bgzf_decompress_all_arr`."""
+    out = bgzf_decompress_all_arr(data, threads)
+    return None if out is None else out.tobytes()
 
 
 def edit_distance_batch_native(queries: np.ndarray, query_lens: np.ndarray,

@@ -29,7 +29,7 @@ from hiphase_tpu.io.bam import BamReader
 # unmapped | secondary | qcfail | duplicate (ref: block_gen.rs:96-101)
 _FILTER_MASK = 0x4 | 0x100 | 0x200 | 0x400
 
-_SLAB_BYTES = 32 << 20  # compressed bytes per streaming slab
+_SLAB_BYTES = 256 << 20  # compressed bytes per streaming slab
 
 
 class ChromSpans:
@@ -129,7 +129,7 @@ class BamSpanIndex:
         tids, poss, ends, mapqs, flags = [], [], [], [], []
         sa_recs, sa_starts, sa_ends, sa_mapqs = [], [], [], []
         rec_base = 0
-        carry = b""
+        carry = np.empty(0, dtype=np.uint8)
         with open(self.path, "rb") as fh:
             fh.seek(coffset)
             comp_carry = b""
@@ -152,19 +152,18 @@ class BamSpanIndex:
                     if len(comp_carry) == len(slab) and not fh.peek(1):
                         break  # trailing garbage / EOF marker remnant
                     continue
-                raw = native.bgzf_decompress_all(slab[:end], threads=2)
+                raw = native.bgzf_decompress_all_arr(slab[:end], threads=2)
                 if raw is None:
                     return None
                 if skip_u:
                     raw = raw[skip_u:]
                     skip_u = 0
-                buf = carry + raw if carry else raw
-                out = native.bam_scan_records(
-                    np.frombuffer(buf, dtype=np.uint8), name_blob, name_off)
+                buf = np.concatenate([carry, raw]) if len(carry) else raw
+                out = native.bam_scan_records(buf, name_blob, name_off)
                 if out is None:
                     return None
-                (tid, pos, rend, mapq, flag, sa_rec, sa_start, sa_end,
-                 sa_mapq, consumed) = out
+                (tid, pos, rend, mapq, flag, _ro, _rs, sa_rec, sa_start,
+                 sa_end, sa_mapq, consumed) = out
                 carry = buf[consumed:]
                 if len(tid):
                     tids.append(tid)
@@ -180,7 +179,7 @@ class BamSpanIndex:
                     rec_base += len(tid)
                 if not slab:
                     break
-        if carry:
+        if len(carry):
             return None  # truncated record stream
 
         def cat(parts, dtype):

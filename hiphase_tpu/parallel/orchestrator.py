@@ -130,7 +130,10 @@ class BatchedDeviceSolver:
         self._n_dev = 1
         try:
             import jax
-            devs = jax.devices()
+            # local devices only: each host solves its own block shard, so
+            # the batch axis never spans processes (multi-host result
+            # movement is parallel.multihost's job, not the mesh's)
+            devs = jax.local_devices()
             if len(devs) > 1:
                 from jax.sharding import Mesh, NamedSharding, PartitionSpec
                 self._mesh = Mesh(np.array(devs), ("data",))

@@ -349,6 +349,41 @@ def _sv_deletion_allele(variant: Variant, r2q: np.ndarray, base: int,
     return AMB, MISSING_QUAL, False, True, last_deletion_end
 
 
+def _realign_block_native(bam, phase_problem, pack, joint_stats,
+                          read_groups, min_mapq) -> bool:
+    """Whole-block native path: bulk region inflate + one C realignment call
+    per chunk (parse, CIGAR walk, SV-deletion windows, anchor matching,
+    stats). Returns False to use the per-read Python path."""
+    from hiphase_tpu.io import native as native_mod
+
+    chunks = bam.fetch_raw(phase_problem.chrom, phase_problem.start,
+                           phase_problem.end + 1, min_mapq)
+    if chunks is None:
+        return False
+    for raw, rec_off, rec_size in chunks:
+        out = native_mod.realign_block(raw, rec_off, rec_size, pack,
+                                       SV_INDEL_QUAL)
+        if out is None:
+            return False
+        alleles2d, quals2d, noverlap, stats = out
+        for i in np.flatnonzero(noverlap > 0):
+            off = int(rec_off[i])
+            l_name = int(raw[off + 8])
+            name = raw[off + 32:off + 32 + l_name - 1].tobytes().decode()
+            read_groups.setdefault(name, []).append(
+                ReadSegment.new(name, alleles2d[i], quals2d[i]))
+        nt = stats[:55].reshape(5, 11)
+        joint_stats.failed_matches += nt[0].astype(np.uint64)
+        joint_stats.exact_matches += nt[1].astype(np.uint64)
+        joint_stats.inexact_matches += nt[2].astype(np.uint64)
+        joint_stats.allele0_matches += nt[3].astype(np.uint64)
+        joint_stats.allele1_matches += nt[4].astype(np.uint64)
+        joint_stats.num_alleles += int(stats[55])
+        joint_stats.skipped_reads += int(stats[56])
+        joint_stats.local_aligned += int(stats[57])
+    return True
+
+
 def load_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
                        variant_calls: list[Variant],
                        min_matched_alleles: int, min_mapq: int
@@ -363,6 +398,9 @@ def load_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
 
     for bam_path in bam_paths:
         with BamReader(bam_path) as bam:
+            if _realign_block_native(bam, phase_problem, pack, joint_stats,
+                                     read_groups, min_mapq):
+                continue
             for read in bam.fetch(phase_problem.chrom, phase_problem.start,
                                   phase_problem.end + 1):
                 if filter_out_alignment_record(read, min_mapq):

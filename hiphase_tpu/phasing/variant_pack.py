@@ -30,6 +30,7 @@ class VariantPack:
     prefix: np.ndarray       # int64
     postfix: np.ndarray      # int64
     python_only: np.ndarray  # bool — ignored or SV-deletion (host-handled)
+    ignored: np.ndarray      # uint8 — is_ignored only (block realigner)
     blob: np.ndarray         # uint8 concatenated alleles
     a0_off: np.ndarray
     a0_len: np.ndarray
@@ -46,6 +47,7 @@ def build_variant_pack(variant_calls: list[Variant]) -> VariantPack:
     prefix = np.zeros(n, np.int64)
     postfix = np.zeros(n, np.int64)
     python_only = np.zeros(n, bool)
+    ignored = np.zeros(n, np.uint8)
     a0_off = np.zeros(n, np.int64)
     a0_len = np.zeros(n, np.int64)
     a1_off = np.zeros(n, np.int64)
@@ -61,6 +63,7 @@ def build_variant_pack(variant_calls: list[Variant]) -> VariantPack:
         postfix[i] = v.postfix_len
         python_only[i] = (v.is_ignored
                           or v.variant_type == VariantType.SV_DELETION)
+        ignored[i] = v.is_ignored
         a0_off[i] = off
         a0_len[i] = len(v.allele0)
         chunks.append(v.allele0)
@@ -73,5 +76,6 @@ def build_variant_pack(variant_calls: list[Variant]) -> VariantPack:
         vt_index[i] = int(v.variant_type)
     blob = np.frombuffer(b"".join(chunks), dtype=np.uint8).copy() \
         if chunks else np.zeros(1, np.uint8)
-    return VariantPack(n, pos, ref_len, prefix, postfix, python_only, blob,
-                       a0_off, a0_len, a1_off, a1_len, baseline, vt_index)
+    return VariantPack(n, pos, ref_len, prefix, postfix, python_only, ignored,
+                       blob, a0_off, a0_len, a1_off, a1_len, baseline,
+                       vt_index)

@@ -807,6 +807,7 @@ int64_t hn_bam_scan_records(
     const uint8_t* raw, int64_t len,
     const uint8_t* name_blob, const int64_t* name_off, int32_t n_ref,
     int32_t* tid, int32_t* pos, int32_t* end_, uint8_t* mapq, uint16_t* flag,
+    int64_t* rec_off, int64_t* rec_size,
     int64_t cap,
     int64_t* sa_rec, int32_t* sa_start, int32_t* sa_end, int32_t* sa_mapq,
     int64_t sa_cap, int64_t* sa_count,
@@ -820,6 +821,8 @@ int64_t hn_bam_scan_records(
     if (block_size < 32) return -3;
     if (off + 4 + block_size > len) break;  // partial record: stop here
     if (n >= cap) return -1;
+    rec_off[n] = off + 4;  // record body (without the size prefix)
+    rec_size[n] = block_size;
     const uint8_t* rec = raw + off + 4;
     int32_t refid, rpos;
     std::memcpy(&refid, rec, 4);
@@ -967,6 +970,342 @@ int64_t hn_bam_scan_records(
   sa_count[0] = n_sa;
   consumed[0] = off;
   return n;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Whole-block local realignment (the per-read hot path of prepare).
+//
+// Replaces the Python record loop: BAM record parse, CIGAR -> coordinate
+// map, 4-bit sequence decode, SV-deletion ratio windows + suppression
+// (ref: src/read_parsing.rs:354-451), anchor-window allele matching with
+// inline edit-distance resolution (ref: read_parsing.rs:196-353), and the
+// per-type statistics accumulation — one C call per (block, BAM chunk).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kNumVariantTypes = 11;  // VariantType count (variants.rs:9-33)
+constexpr int kSvDeletion = 5;
+
+const uint8_t kSeqNt16[16] = {'=', 'A', 'C', 'M', 'G', 'R', 'S', 'V',
+                              'T', 'W', 'Y', 'H', 'K', 'D', 'B', 'N'};
+
+struct VarPack {
+  int32_t n;
+  const int64_t* pos;
+  const int64_t* ref_len;
+  const int64_t* prefix;
+  const int64_t* postfix;
+  const uint8_t* ignored;
+  const int32_t* vtype;
+  const uint8_t* blob;
+  const int64_t* a0_off;
+  const int64_t* a0_len;
+  const int64_t* a1_off;
+  const int64_t* a1_len;
+  const int32_t* baseline;
+};
+
+// One variant's anchor-window match (identical to hn_window_alleles' body).
+inline void window_allele_one(
+    const int64_t* r2q, int64_t base, int64_t span,
+    const uint8_t* seq, const uint8_t* quals,
+    int64_t aligned_start, int64_t aligned_end,
+    const VarPack& vp, int32_t vi,
+    uint8_t* out_a, uint8_t* out_q, uint8_t* out_ex, uint8_t* out_ov) {
+  auto lookup = [&](int64_t rc) -> int64_t {
+    if (rc < base || rc >= base + span) return -1;
+    return r2q[rc - base];
+  };
+  int64_t pos = vp.pos[vi];
+  int64_t ref_len = vp.ref_len[vi];
+  int64_t prefix_len = vp.prefix[vi];
+  int64_t postfix_len = vp.postfix[vi];
+  int64_t first_start = pos - prefix_len;
+  int64_t last_start = pos + 1;
+  int64_t first_end = pos + ref_len;
+  int64_t last_end = first_end + postfix_len + 1;
+
+  *out_a = 3; *out_q = 0; *out_ex = 0; *out_ov = 0;
+  if (last_end <= base || first_start >= base + span) {
+    // no anchor can exist; outcome depends only on the aligned range
+    if (aligned_start <= pos && pos < aligned_end) { *out_a = 2; *out_ov = 1; }
+    return;
+  }
+
+  int64_t closest_start = -1, closest_end = -1;
+  for (int64_t sc = last_start - 1; sc >= first_start; --sc) {
+    int64_t si = lookup(sc);
+    if (si >= 0) { closest_start = si; break; }
+  }
+  for (int64_t ec = first_end; ec < last_end; ++ec) {
+    int64_t ei = lookup(ec);
+    if (ei >= 0) { closest_end = ei; break; }
+  }
+
+  int64_t start_coordinate = -1, end_coordinate = -1;
+  int64_t start_clip = 0, end_clip = 0;
+  if (closest_start >= 0 && closest_end >= 0) {
+    for (int64_t sc = first_start; sc < last_start; ++sc) {
+      ++start_clip;
+      int64_t si = lookup(sc);
+      if (si < 0) continue;
+      if (closest_start - si > 2 * prefix_len) continue;
+      start_coordinate = si;
+      for (int64_t ec = last_end - 1; ec >= first_end; --ec) {
+        ++end_clip;
+        int64_t ei = lookup(ec);
+        if (ei < 0) continue;
+        if (ei - closest_end > 2 * postfix_len) continue;
+        end_coordinate = ei;
+        break;
+      }
+      break;
+    }
+  }
+
+  if (start_coordinate >= 0 && end_coordinate >= 0) {
+    int64_t ss = start_coordinate, se = end_coordinate;
+    const uint8_t* obs = seq + ss;
+    int64_t obs_len = se - ss;
+    const uint8_t* a0 = vp.blob + vp.a0_off[vi];
+    const uint8_t* a1 = vp.blob + vp.a1_off[vi];
+    int64_t l0 = vp.a0_len[vi], l1 = vp.a1_len[vi];
+    uint8_t allele;
+    uint8_t exact = 0;
+    if (obs_len == l0 && std::memcmp(obs, a0, l0) == 0) {
+      allele = 0; exact = 1;
+    } else if (obs_len == l1 && std::memcmp(obs, a1, l1) == 0) {
+      allele = 1; exact = 1;
+    } else {
+      int64_t hc = start_clip - 1, tc = end_clip - 1;
+      int32_t d0 = levenshtein(obs, obs_len, a0 + hc, l0 - hc - tc);
+      int32_t d1 = levenshtein(obs, obs_len, a1 + hc, l1 - hc - tc);
+      allele = d0 < d1 ? 0 : (d1 < d0 ? 1 : 2);
+    }
+    double qual_factor = 1.0;
+    if (obs_len > 0) {
+      double denom = 0.0;
+      bool zero_q = false;
+      for (int64_t k = 0; k < obs_len; ++k) {
+        uint8_t q = quals[ss + k];
+        if (q == 0) { zero_q = true; break; }
+        denom += 1.0 / q;
+      }
+      double harmonic = zero_q ? 0.0 : obs_len / denom;
+      qual_factor = std::min(harmonic / 40.0, 1.0);
+    }
+    double q = vp.baseline[vi] * qual_factor;
+    *out_q = static_cast<uint8_t>(q < 1.0 ? 1.0 : q);
+    *out_a = allele;
+    *out_ex = exact;
+    *out_ov = 1;
+  } else if (aligned_start <= pos && pos < aligned_end) {
+    *out_a = 2; *out_ov = 1;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Realign every record of a block chunk against its variant pack.
+//   raw/rec_off/rec_size: record bodies (without the 4-byte size prefix)
+//   out_alleles/out_quals: [n_recs, n_vars] row-major
+//   out_noverlap: per record, count of set (<Ambiguous) overlap alleles
+//   out_stats: int64[5*11 + 3]: failed/exact/inexact/allele0/allele1 by
+//              VariantType, then num_alleles, skipped_reads, local_aligned
+// Returns 0, or -1 on malformed record.
+int64_t hn_realign_block(
+    const uint8_t* raw, const int64_t* rec_off, const int64_t* rec_size,
+    int64_t n_recs,
+    int32_t n_vars, const int64_t* var_pos, const int64_t* var_ref_len,
+    const int64_t* var_prefix, const int64_t* var_postfix,
+    const uint8_t* var_ignored, const int32_t* var_vtype,
+    const uint8_t* allele_blob, const int64_t* a0_off, const int64_t* a0_len,
+    const int64_t* a1_off, const int64_t* a1_len,
+    const int32_t* baseline_qual,
+    int32_t sv_indel_qual, int threads,
+    uint8_t* out_alleles, uint8_t* out_quals, int32_t* out_noverlap,
+    int64_t* out_stats) {
+  VarPack vp{n_vars, var_pos, var_ref_len, var_prefix, var_postfix,
+             var_ignored, var_vtype, allele_blob, a0_off, a0_len,
+             a1_off, a1_len, baseline_qual};
+  constexpr int kS = 5 * kNumVariantTypes + 3;
+  int n_workers = std::max(1, std::min<int>(threads, 8));
+  std::vector<std::vector<int64_t>> tl_stats(
+      n_workers, std::vector<int64_t>(kS, 0));
+  std::atomic<int64_t> bad(0);
+
+  auto work = [&](int w) {
+    int64_t lo = n_recs * w / n_workers;
+    int64_t hi = n_recs * (w + 1) / n_workers;
+    int64_t* st = tl_stats[w].data();
+    std::vector<int64_t> r2q;
+    std::vector<uint8_t> seq;
+    for (int64_t r = lo; r < hi; ++r) {
+      const uint8_t* rec = raw + rec_off[r];
+      int64_t rlen = rec_size[r];
+      if (rlen < 32) { bad.store(1); return; }
+      int32_t rpos32;
+      std::memcpy(&rpos32, rec + 4, 4);
+      int64_t base = rpos32;
+      uint8_t l_read_name = rec[8];
+      uint16_t n_cigar;
+      std::memcpy(&n_cigar, rec + 12, 2);
+      uint32_t l_seq;
+      std::memcpy(&l_seq, rec + 16, 4);
+      int64_t cigar_off = 32 + l_read_name;
+      int64_t seq_off = cigar_off + 4LL * n_cigar;
+      int64_t qual_off = seq_off + (l_seq + 1) / 2;
+      if (qual_off + l_seq > rlen) { bad.store(1); return; }
+
+      // CIGAR walk: reference span + ref->read coordinate map
+      int64_t span = 0;
+      for (int i = 0; i < n_cigar; ++i) {
+        uint32_t v;
+        std::memcpy(&v, rec + cigar_off + 4LL * i, 4);
+        if (cigar_consumes_ref(v & 0xF)) span += v >> 4;
+      }
+      if (span < 1) span = 1;
+      r2q.assign(span, -1);
+      int64_t qpos = 0, rposn = 0, last_mapped = -1;
+      for (int i = 0; i < n_cigar; ++i) {
+        uint32_t v;
+        std::memcpy(&v, rec + cigar_off + 4LL * i, 4);
+        uint32_t op = v & 0xF;
+        int64_t len = v >> 4;
+        if (op == 0 || op == 7 || op == 8) {        // M/=/X
+          for (int64_t k = 0; k < len; ++k) r2q[rposn + k] = qpos + k;
+          qpos += len;
+          rposn += len;
+          last_mapped = rposn - 1;
+        } else if (op == 1 || op == 4) {            // I/S
+          qpos += len;
+        } else if (op == 2 || op == 3) {            // D/N
+          rposn += len;
+        }
+      }
+      int64_t aligned_start = base;
+      int64_t aligned_end = last_mapped >= 0 ? base + last_mapped + 1
+                                             : base + 1;
+
+      // 4-bit sequence decode
+      seq.resize(l_seq);
+      const uint8_t* packed = rec + seq_off;
+      for (uint32_t k = 0; k < l_seq; ++k)
+        seq[k] = kSeqNt16[(packed[k / 2] >> ((k & 1) ? 0 : 4)) & 0xF];
+      const uint8_t* quals = rec + qual_off;
+
+      uint8_t* oa = out_alleles + r * n_vars;
+      uint8_t* oq = out_quals + r * n_vars;
+      std::vector<uint8_t> oex(n_vars, 0), oov(n_vars, 0), skip(n_vars, 0);
+      std::memset(oa, 3, n_vars);
+      std::memset(oq, 0, n_vars);
+
+      // sequential pass: ignored variants, SV deletions (they set the
+      // suppression window), suppressed variants (ref: read_parsing.rs:
+      // 180-194, 354-451). Only variants inside the aligned span apply.
+      int64_t lo_v = std::lower_bound(var_pos, var_pos + n_vars, base)
+          - var_pos;
+      int64_t hi_v = std::lower_bound(var_pos, var_pos + n_vars, aligned_end)
+          - var_pos;
+      int64_t last_deletion_end = 0;
+      for (int64_t vi = 0; vi < n_vars; ++vi)
+        if (var_ignored[vi] || var_vtype[vi] == kSvDeletion) skip[vi] = 1;
+      for (int64_t vi = lo_v; vi < hi_v; ++vi) {
+        if (var_ignored[vi]) continue;
+        int64_t pos = var_pos[vi];
+        if (pos < last_deletion_end) {
+          oa[vi] = 2; oov[vi] = 1; skip[vi] = 1;
+          continue;
+        }
+        if (var_vtype[vi] != kSvDeletion) continue;
+        // SV deletion: deleted-base ratio between anchors
+        int64_t ref_len = var_ref_len[vi];
+        int64_t last_start = pos + 1;
+        int64_t first_end = pos + ref_len;
+        if (!(aligned_start <= first_end && first_end < aligned_end)) {
+          oa[vi] = 2; oov[vi] = 1;  // partial overlap, far end unreached
+          continue;
+        }
+        int64_t expected_deleted = first_end - last_start;
+        auto contains = [&](int64_t rc) {
+          return rc >= base && rc - base < span && r2q[rc - base] >= 0;
+        };
+        int64_t start_anchor = last_start;
+        while (!contains(start_anchor)) {
+          if (start_anchor <= aligned_start) break;
+          --start_anchor;
+        }
+        int64_t end_anchor = first_end;
+        while (!contains(end_anchor)) {
+          ++end_anchor;
+          if (end_anchor >= aligned_end) break;
+        }
+        int64_t klo = std::max<int64_t>(start_anchor - base, 0);
+        int64_t khi = std::max<int64_t>(end_anchor - base, klo);
+        khi = std::min<int64_t>(khi, span);
+        int64_t deleted = 0;
+        for (int64_t k = klo; k < khi; ++k) deleted += (r2q[k] < 0);
+        double ratio = expected_deleted > 0
+            ? static_cast<double>(deleted) / expected_deleted : 0.0;
+        if (ratio < 0.33) {
+          double q = sv_indel_qual * (1.0 - ratio);
+          oa[vi] = 0; oq[vi] = static_cast<uint8_t>(q < 1.0 ? 1.0 : q);
+          oex[vi] = ratio == 0.0; oov[vi] = 1;
+        } else if (ratio > 0.67 && ratio < 1.33) {
+          double qf = 1.0 - (ratio > 1.0 ? ratio - 1.0 : 1.0 - ratio);
+          double q = sv_indel_qual * qf;
+          oa[vi] = 1; oq[vi] = static_cast<uint8_t>(q < 1.0 ? 1.0 : q);
+          oex[vi] = ratio == 1.0; oov[vi] = 1;
+          last_deletion_end = first_end;
+        } else {
+          oa[vi] = 2; oov[vi] = 1;
+        }
+      }
+
+      for (int32_t vi = 0; vi < n_vars; ++vi) {
+        if (skip[vi]) continue;
+        window_allele_one(r2q.data(), base, span, seq.data(), quals,
+                          aligned_start, aligned_end, vp, vi,
+                          &oa[vi], &oq[vi], &oex[vi], &oov[vi]);
+      }
+
+      // stats (ref: read_parsing.rs:129-133, :459-486)
+      int64_t n_overlap_set = 0;
+      for (int32_t vi = 0; vi < n_vars; ++vi) {
+        if (!oov[vi]) continue;
+        int vt = var_vtype[vi];
+        if (oa[vi] == 2) {
+          st[0 * kNumVariantTypes + vt] += 1;  // failed
+        } else if (oa[vi] < 2) {
+          st[(oex[vi] ? 1 : 2) * kNumVariantTypes + vt] += 1;
+          st[(oa[vi] == 0 ? 3 : 4) * kNumVariantTypes + vt] += 1;
+          ++n_overlap_set;
+        }
+      }
+      out_noverlap[r] = static_cast<int32_t>(n_overlap_set);
+      st[5 * kNumVariantTypes + 0] += n_overlap_set;        // num_alleles
+      st[5 * kNumVariantTypes + 1] += (n_overlap_set == 0); // skipped_reads
+      st[5 * kNumVariantTypes + 2] += (n_overlap_set != 0); // local_aligned
+    }
+  };
+
+  if (n_workers <= 1 || n_recs < 16) {
+    work(0);
+    for (int w = 1; w < n_workers; ++w) work(w);
+  } else {
+    std::vector<std::thread> pool;
+    for (int w = 0; w < n_workers; ++w) pool.emplace_back(work, w);
+    for (auto& th : pool) th.join();
+  }
+  if (bad.load()) return -1;
+  for (int w = 0; w < n_workers; ++w)
+    for (int k = 0; k < kS; ++k) out_stats[k] += tl_stats[w][k];
+  return 0;
 }
 
 }  // extern "C"
