@@ -265,6 +265,56 @@ def edit_distance_batch_native(queries: np.ndarray, query_lens: np.ndarray,
     return out
 
 
+def wfa_batch(raw: np.ndarray, rec_off: np.ndarray, rec_size: np.ndarray,
+              chrom_seq: bytes, het_pos: np.ndarray, wfa_pack,
+              prune_distance: int, max_edit_distance: int,
+              threads: int = 2):
+    """Batched graph-WFA global realignment over a block's records.
+
+    Returns (scores, alleles [n_recs, n_hets]) or None when unavailable.
+    Per-record score: >=0 edit distance, -1 max-ED (local fallback),
+    -2 no het overlap (skipped), -3 scratch overflow (per-read host path).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_hn_wfa_batch_sig", False):
+        lib.hn_wfa_batch.restype = ctypes.c_int64
+        lib._hn_wfa_batch_sig = True
+    n_recs = len(rec_off)
+    n_hets = len(het_pos)
+    scores = np.zeros(n_recs, dtype=np.int64)
+    alleles = np.full((max(n_recs, 1), max(n_hets, 1)), 3, dtype=np.uint8)
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    rec_off = np.ascontiguousarray(rec_off, dtype=np.int64)
+    rec_size = np.ascontiguousarray(rec_size, dtype=np.int64)
+    het_pos = np.ascontiguousarray(het_pos, dtype=np.int64)
+    seq = np.frombuffer(chrom_seq, dtype=np.uint8)
+    rc = lib.hn_wfa_batch(
+        ctypes.c_void_p(raw.ctypes.data),
+        ctypes.c_void_p(rec_off.ctypes.data),
+        ctypes.c_void_p(rec_size.ctypes.data), ctypes.c_int64(n_recs),
+        ctypes.c_void_p(seq.ctypes.data), ctypes.c_int64(len(seq)),
+        ctypes.c_void_p(het_pos.ctypes.data), ctypes.c_int64(n_hets),
+        ctypes.c_int32(wfa_pack.n),
+        ctypes.c_void_p(wfa_pack.pos.ctypes.data),
+        ctypes.c_void_p(wfa_pack.ref_len.ctypes.data),
+        ctypes.c_void_p(wfa_pack.var_index.ctypes.data),
+        ctypes.c_void_p(wfa_pack.a0_is_alt.ctypes.data),
+        ctypes.c_void_p(wfa_pack.blob.ctypes.data),
+        ctypes.c_void_p(wfa_pack.a0_off.ctypes.data),
+        ctypes.c_void_p(wfa_pack.a0_len.ctypes.data),
+        ctypes.c_void_p(wfa_pack.a1_off.ctypes.data),
+        ctypes.c_void_p(wfa_pack.a1_len.ctypes.data),
+        ctypes.c_int64(prune_distance), ctypes.c_int64(max_edit_distance),
+        ctypes.c_int32(threads),
+        ctypes.c_void_p(scores.ctypes.data),
+        ctypes.c_void_p(alleles.ctypes.data))
+    if rc != 0:
+        return None
+    return scores, alleles[:n_recs, :n_hets]
+
+
 def window_alleles(r2q, ref_base, read_seq, read_quals,
                    aligned_start, aligned_end, pack, skip_flags):
     """Native anchor-window allele matching for one read.

@@ -235,6 +235,184 @@ def global_realignment(phase_problem: PhaseBlock, read: BamRecord,
     return alleles, quals, stats, score
 
 
+def _finish_groups(read_groups, joint_stats, min_matched_alleles
+                   ) -> tuple[list[ReadSegment], list[ReadSegment], ReadStats]:
+    """Collapse per-name segment groups and split by min_matched_alleles
+    (ref: read_parsing.rs:611-629)."""
+    read_segments: list[ReadSegment] = []
+    phasable_segments: list[ReadSegment] = []
+    for _name, group in read_groups.items():
+        collapsed = collapse_read_segments(group)
+        num_set = collapsed.get_num_set()
+        if num_set >= min_matched_alleles:
+            read_segments.append(collapsed)
+            joint_stats.num_reads += len(group)
+        else:
+            joint_stats.skipped_reads += len(group)
+            if num_set > 0:
+                phasable_segments.append(collapsed)
+    return read_segments, phasable_segments, joint_stats
+
+
+class _Ladder:
+    """Mutable failure-ladder state shared across BAMs of a block
+    (ref: read_parsing.rs:595-600)."""
+
+    def __init__(self, config: GlobalRealignmentConfig):
+        self.config = config
+        self.disabled = False
+        self.failures = 0.0
+        self.total = 0.0
+
+    def record(self, was_local_fallback: bool) -> None:
+        self.failures += 1.0 if was_local_fallback else 0.0
+        self.total += 1.0
+        if (not self.disabled
+                and self.failures >= self.config.global_failure_minimum
+                and self.failures / self.total
+                >= self.config.global_failure_ratio):
+            self.disabled = True
+
+
+def _global_batch_chunk(raw, rec_off, rec_size, phase_problem, variant_calls,
+                        hom_calls, reference_genome, config, wfa_pack,
+                        local_pack, chrom_seq, ladder: _Ladder,
+                        read_groups, joint_stats) -> bool:
+    """Batched dual-mode assignment for one fetched record chunk: one native
+    graph-WFA call over all records (threaded), batched local realignment
+    for the fallbacks, ladder decisions applied host-side in encounter order
+    (the determinism contract, ref: CHANGELOG.md:33-46). Returns False to
+    use the per-read path."""
+    from hiphase_tpu.io import native as native_mod
+    from hiphase_tpu.phasing.read_parsing import SV_INDEL_QUAL
+
+    het_pos = np.fromiter((v.position for v in variant_calls), np.int64,
+                          len(variant_calls))
+    out = native_mod.wfa_batch(raw, rec_off, rec_size, chrom_seq, het_pos,
+                               wfa_pack, min(config.wfa_prune_distance,
+                                             USIZE_MAX),
+                               min(config.max_edit_distance, USIZE_MAX))
+    if out is None:
+        return False
+    scores, gall = out
+    n = len(rec_off)
+    local_rows: dict[int, tuple[np.ndarray, np.ndarray, int]] = {}
+
+    def run_local(idxs) -> bool:
+        idxs = np.asarray(idxs, dtype=np.int64)
+        if not len(idxs):
+            return True
+        lr = native_mod.realign_block(raw, rec_off[idxs], rec_size[idxs],
+                                      local_pack, SV_INDEL_QUAL)
+        if lr is None:
+            return False
+        la, lq, lnov, lstats = lr
+        nt = lstats[:55].reshape(5, 11)
+        joint_stats.failed_matches += nt[0].astype(np.uint64)
+        joint_stats.exact_matches += nt[1].astype(np.uint64)
+        joint_stats.inexact_matches += nt[2].astype(np.uint64)
+        joint_stats.allele0_matches += nt[3].astype(np.uint64)
+        joint_stats.allele1_matches += nt[4].astype(np.uint64)
+        joint_stats.num_alleles += int(lstats[55])
+        joint_stats.skipped_reads += int(lstats[56])
+        joint_stats.local_aligned += int(lstats[57])
+        for j, idx in enumerate(idxs):
+            local_rows[int(idx)] = (la[j], lq[j], int(lnov[j]))
+        return True
+
+    if not run_local(np.flatnonzero(scores == -1)):
+        return False
+
+    # per-read host path for scratch-overflow records (rare)
+    py_rows: dict[int, tuple] = {}
+    for i in np.flatnonzero(scores == -3):
+        i = int(i)
+        rec = BamRecord.parse(raw[int(rec_off[i]):
+                                  int(rec_off[i]) + int(rec_size[i])].tobytes())
+        try:
+            alleles, quals, rstats, _sc = global_realignment(
+                phase_problem, rec, variant_calls, hom_calls,
+                reference_genome, config.wfa_prune_distance,
+                config.max_edit_distance, wfa_pack=None)
+            py_rows[i] = ("global", alleles, quals, rstats)
+        except WFAGraphError:
+            alleles, quals, rstats = local_realignment(rec, variant_calls,
+                                                       pack=local_pack)
+            py_rows[i] = ("local", alleles, quals, rstats)
+
+    # walk 1: apply the ladder in encounter order; reads after the flipping
+    # read use local for the rest of the block (ref: read_parsing.rs:595-600)
+    if ladder.disabled:
+        flip_at = 0
+    else:
+        flip_at = n
+        for i in range(n):
+            s = int(scores[i])
+            if s == -2:
+                continue  # no het overlap: skipped, no ladder update
+            if s == -3:
+                kind, _a, _q, rstats = py_rows[i]
+                if rstats.skipped_reads == 0:
+                    ladder.record(kind == "local")
+            elif s == -1:
+                if local_rows[i][2] > 0:
+                    ladder.record(True)
+            else:
+                ladder.record(False)
+            if ladder.disabled:
+                flip_at = i + 1
+                break
+
+    # post-flip records all use local (ref: read_parsing.rs:556-558)
+    need_local = [i for i in range(flip_at, n) if i not in local_rows]
+    if not run_local(need_local):
+        return False
+
+    # walk 2: emit segments + global stats in encounter order
+    qual2x = (2 * local_pack.baseline).astype(np.uint8)
+    vt = local_pack.vt_index
+    g_rows = []
+    for i in range(n):
+        use_local = i >= flip_at or int(scores[i]) == -1
+        off = int(rec_off[i])
+        l_name = int(raw[off + 8])
+        name = raw[off + 32:off + 32 + l_name - 1].tobytes().decode()
+        if use_local:
+            la, lq, lnov = local_rows[i]
+            if lnov > 0:
+                read_groups.setdefault(name, []).append(
+                    ReadSegment.new(name, la, lq))
+            continue
+        s = int(scores[i])
+        if s == -2:
+            joint_stats.skipped_reads += 1
+            continue
+        if s == -3:
+            kind, alleles, quals, rstats = py_rows[i]
+            if rstats.skipped_reads == 0:
+                read_groups.setdefault(name, []).append(
+                    ReadSegment.new(name, alleles, quals))
+            joint_stats += rstats
+            continue
+        row = gall[i]
+        quals = np.where(row < 2, qual2x, 0).astype(np.uint8)
+        read_groups.setdefault(name, []).append(
+            ReadSegment.new(name, row, quals))
+        g_rows.append(i)
+
+    if g_rows:
+        G = gall[np.asarray(g_rows)]
+        vt_b = np.broadcast_to(vt, G.shape)
+        np.add.at(joint_stats.failed_matches, vt_b[G == 2], 1)
+        set_mask = G < 2
+        np.add.at(joint_stats.inexact_matches, vt_b[set_mask], 1)
+        np.add.at(joint_stats.allele0_matches, vt_b[G == 0], 1)
+        np.add.at(joint_stats.allele1_matches, vt_b[G == 1], 1)
+        joint_stats.num_alleles += int(set_mask.sum())
+        joint_stats.global_aligned += len(g_rows)
+    return True
+
+
 def load_full_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
                             variant_calls: list[Variant],
                             hom_calls: list[Variant],
@@ -252,6 +430,34 @@ def load_full_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
     local_pack = build_variant_pack(variant_calls)
     wfa_pack = WfaBlockPack(variant_calls, hom_calls) \
         if native_mod.available() else None
+
+    if wfa_pack is not None:
+        ladder = _Ladder(config)
+        chrom_seq = reference_genome.get_full_chromosome(phase_problem.chrom)
+        batched_ok = True
+        for bam_path in bam_paths:
+            with BamReader(bam_path) as bam:
+                chunks = bam.fetch_raw(phase_problem.chrom,
+                                       phase_problem.start,
+                                       phase_problem.end + 1, min_mapq)
+                if chunks is None:
+                    batched_ok = False
+                    break
+                for raw, rec_off, rec_size in chunks:
+                    if not _global_batch_chunk(
+                            raw, rec_off, rec_size, phase_problem,
+                            variant_calls, hom_calls, reference_genome,
+                            config, wfa_pack, local_pack, chrom_seq, ladder,
+                            read_groups, joint_stats):
+                        batched_ok = False
+                        break
+                if not batched_ok:
+                    break
+        if batched_ok:
+            return _finish_groups(read_groups, joint_stats,
+                                  min_matched_alleles)
+        read_groups = {}
+        joint_stats = ReadStats()
 
     global_disabled = False
     num_global_failures = 0.0
@@ -295,16 +501,4 @@ def load_full_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
                             phase_problem.block_index)
                 joint_stats += read_stats
 
-    read_segments: list[ReadSegment] = []
-    phasable_segments: list[ReadSegment] = []
-    for _name, group in read_groups.items():
-        collapsed = collapse_read_segments(group)
-        num_set = collapsed.get_num_set()
-        if num_set >= min_matched_alleles:
-            read_segments.append(collapsed)
-            joint_stats.num_reads += len(group)
-        else:
-            joint_stats.skipped_reads += len(group)
-            if num_set > 0:
-                phasable_segments.append(collapsed)
-    return read_segments, phasable_segments, joint_stats
+    return _finish_groups(read_groups, joint_stats, min_matched_alleles)

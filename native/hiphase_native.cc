@@ -1309,3 +1309,167 @@ int64_t hn_realign_block(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched global realignment (graph-WFA) over a block's records.
+//
+// The reference builds one WFA graph per read over the read's het+hom
+// overlap window and aligns the read's aligned subsequence
+// (ref: src/read_parsing.rs:652-867, wfa_graph.rs:119-650). This driver
+// moves the whole per-read loop into C with internal threading: record
+// parse, coordinate map, window search, graph build, wavefront alignment,
+// and traversed-node -> allele merging. The deterministic failure ladder
+// stays host-side: scores come back per record in file order and the host
+// applies the fallback decisions in encounter order (CHANGELOG.md:33-46).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Per-record out_score: >=0 edit distance (global success), -1 max-ED
+// exceeded (host falls back to local), -2 no het overlap (read skipped),
+// -3 scratch capacity exceeded (host uses its per-read path).
+// out_alleles: [n_recs, n_hets] u8 — 0/1 assignment, 2 conflict, 3 none.
+// Returns 0, or -1 on malformed record.
+int64_t hn_wfa_batch(
+    const uint8_t* raw, const int64_t* rec_off, const int64_t* rec_size,
+    int64_t n_recs,
+    const uint8_t* chrom_seq, int64_t chrom_len,
+    const int64_t* het_pos, int64_t n_hets,
+    int32_t n_pack, const int64_t* pk_pos, const int64_t* pk_ref_len,
+    const int32_t* pk_var_index, const uint8_t* pk_a0_is_alt,
+    const uint8_t* pk_blob, const int64_t* pk_a0_off, const int64_t* pk_a0_len,
+    const int64_t* pk_a1_off, const int64_t* pk_a1_len,
+    int64_t prune_distance, int64_t max_edit_distance, int threads,
+    int64_t* out_scores, uint8_t* out_alleles) {
+  std::atomic<int64_t> bad(0);
+  int n_workers = std::max(1, std::min<int>(threads, 8));
+
+  int64_t blob_total = 0;
+  for (int32_t i = 0; i < n_pack; ++i)
+    blob_total += pk_a0_len[i] + pk_a1_len[i];
+
+  auto work = [&](int w) {
+    int64_t lo = n_recs * w / n_workers;
+    int64_t hi = n_recs * (w + 1) / n_workers;
+    std::vector<int64_t> r2q;
+    for (int64_t r = lo; r < hi; ++r) {
+      const uint8_t* rec = raw + rec_off[r];
+      int64_t rlen = rec_size[r];
+      if (rlen < 32) { bad.store(1); return; }
+      int32_t rpos32;
+      std::memcpy(&rpos32, rec + 4, 4);
+      int64_t base = rpos32;
+      uint8_t l_read_name = rec[8];
+      uint16_t n_cigar;
+      std::memcpy(&n_cigar, rec + 12, 2);
+      uint32_t l_seq;
+      std::memcpy(&l_seq, rec + 16, 4);
+      int64_t cigar_off = 32 + l_read_name;
+      int64_t seq_off = cigar_off + 4LL * n_cigar;
+      int64_t qual_off = seq_off + (l_seq + 1) / 2;
+      if (qual_off + l_seq > rlen) { bad.store(1); return; }
+
+      int64_t span = 0;
+      for (int i = 0; i < n_cigar; ++i) {
+        uint32_t v;
+        std::memcpy(&v, rec + cigar_off + 4LL * i, 4);
+        if (cigar_consumes_ref(v & 0xF)) span += v >> 4;
+      }
+      if (span < 1) span = 1;
+      r2q.assign(span, -1);
+      int64_t qpos = 0, rposn = 0;
+      int64_t first_mapped = -1, last_mapped = -1;
+      for (int i = 0; i < n_cigar; ++i) {
+        uint32_t v;
+        std::memcpy(&v, rec + cigar_off + 4LL * i, 4);
+        uint32_t op = v & 0xF;
+        int64_t len = v >> 4;
+        if (op == 0 || op == 7 || op == 8) {
+          for (int64_t k = 0; k < len; ++k) r2q[rposn + k] = qpos + k;
+          if (first_mapped < 0) first_mapped = rposn;
+          last_mapped = rposn + len - 1;
+          qpos += len;
+          rposn += len;
+        } else if (op == 1 || op == 4) {
+          qpos += len;
+        } else if (op == 2 || op == 3) {
+          rposn += len;
+        }
+      }
+      uint8_t* oa = out_alleles + r * n_hets;
+      std::memset(oa, 3, n_hets);
+      if (first_mapped < 0) { out_scores[r] = -2; continue; }
+      int64_t min_position = base + first_mapped;
+      int64_t max_position = base + last_mapped;
+
+      // het overlap window (ref: read_parsing.rs:688-712)
+      const int64_t* he = het_pos + n_hets;
+      int64_t n_ov = std::upper_bound(het_pos, he, max_position)
+          - std::lower_bound(het_pos, he, min_position);
+      if (n_ov <= 0) { out_scores[r] = -2; continue; }
+
+      // aligned read subsequence
+      int64_t read_start = r2q[min_position - base];
+      int64_t read_end = r2q[max_position - base];
+      std::vector<uint8_t> read_align(read_end + 1 - read_start);
+      const uint8_t* packed = rec + seq_off;
+      for (int64_t k = read_start; k <= read_end; ++k)
+        read_align[k - read_start] =
+            kSeqNt16[(packed[k / 2] >> ((k & 1) ? 0 : 4)) & 0xF];
+
+      int64_t ref_start = min_position;
+      int64_t ref_end = std::min(max_position + 1, chrom_len);
+      int64_t window = ref_end - ref_start;
+
+      // scratch for the graph build (same capacity model as the host)
+      int64_t node_cap = 3LL * n_pack + 4;
+      int64_t blob_cap = window + blob_total + 16;
+      int64_t edge_cap = 8LL * n_pack + 16;
+      int64_t alle_cap = 2LL * n_pack + 2;
+      std::vector<int64_t> node_off(node_cap + 1);
+      std::vector<uint8_t> node_blob(blob_cap);
+      std::vector<int64_t> edge_off(std::max<int64_t>(node_cap + 1, edge_cap));
+      std::vector<int32_t> edge_dst(edge_cap);
+      std::vector<int32_t> alle_node(alle_cap), alle_var(alle_cap);
+      std::vector<uint8_t> alle_val(alle_cap);
+      int64_t n_alleles = 0;
+      int64_t n_nodes = hn_wfa_build(
+          chrom_seq, ref_start, ref_end, n_pack, pk_pos, pk_ref_len,
+          pk_var_index, pk_a0_is_alt, pk_blob, pk_a0_off, pk_a0_len,
+          pk_a1_off, pk_a1_len,
+          node_off.data(), node_blob.data(), node_cap, blob_cap,
+          edge_off.data(), edge_dst.data(), edge_cap,
+          alle_node.data(), alle_var.data(), alle_val.data(), alle_cap,
+          &n_alleles);
+      if (n_nodes < 0) { out_scores[r] = -3; continue; }
+
+      std::vector<uint8_t> traversed(n_nodes, 0);
+      int64_t score = hn_wfa_align(
+          node_blob.data(), node_off.data(), static_cast<int32_t>(n_nodes),
+          edge_dst.data(), edge_off.data(), read_align.data(),
+          static_cast<int64_t>(read_align.size()), prune_distance,
+          max_edit_distance, traversed.data());
+      if (score < 0) { out_scores[r] = -1; continue; }
+      out_scores[r] = score;
+      for (int64_t k = 0; k < n_alleles; ++k) {
+        if (!traversed[alle_node[k]]) continue;
+        int32_t vi = alle_var[k];
+        if (vi < 0) continue;  // hom branch
+        uint8_t val = alle_val[k];
+        if (oa[vi] == 3) oa[vi] = val;
+        else if (oa[vi] != val) oa[vi] = 2;
+      }
+    }
+  };
+
+  if (n_workers <= 1 || n_recs < 4) {
+    for (int w = 0; w < n_workers; ++w) work(w);
+  } else {
+    std::vector<std::thread> pool;
+    for (int w = 0; w < n_workers; ++w) pool.emplace_back(work, w);
+    for (auto& th : pool) th.join();
+  }
+  return bad.load() ? -1 : 0;
+}
+
+}  // extern "C"
