@@ -61,8 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", choices=["astar", "tpu"], default="astar",
                    help="Phasing engine: host A* oracle or the batched TPU "
                         "beam engine")
-    p.add_argument("--beam-width", type=int, default=256,
-                   help="TPU engine beam width")
+    p.add_argument("--beam-width", type=int, default=None,
+                   help="TPU engine fast beam width; blocks not provably "
+                        "optimal at this width re-solve at the full "
+                        "--phase-min-queue-size width (default: solve "
+                        "directly at the full width)")
     p.add_argument("--batch-size", type=int, default=32,
                    help="TPU engine blocks per device batch")
 
@@ -345,7 +348,8 @@ def _main(argv=None) -> int:
         device_solver = BatchedDeviceSolver(
             beam_width=args.beam_width, batch_size=args.batch_size,
             min_queue_size=args.phase_min_queue_size,
-            queue_increment=args.phase_queue_increment)
+            queue_increment=args.phase_queue_increment,
+            compute_estimates=args.stats_file is not None)
         if multihost:
             # every host walks the SAME global stream (the collective
             # cadence must line up), solves its round-robin shard, and

@@ -76,17 +76,33 @@ def _pad_width(w: int) -> int:
     return max(64, ((w + 63) // 64) * 64)
 
 
-def _stats_from_beam(data: BlockData, h1, h2, cost: int, pruned: int) -> PhaseStats:
+def _stats_from_beam(data: BlockData, h1, h2, cost: int, pruned: int,
+                     estimate: bool = False) -> PhaseStats:
     phased = sum(1 for a, b in zip(h1, h2) if a != b)
     phased_snvs = sum(
         1 for i, (a, b) in enumerate(zip(h1, h2))
         if a != b and data.variants[i].variant_type == VariantType.SNV)
     skipped = sum(1 for a, b in zip(h1, h2) if a == b == AMB)
     hom = len(h1) - phased - skipped
-    # the beam has no admissible pre-estimate; report the exact cost so
-    # cost_ratio stays 1.0; pruned==0 keeps meaning provably optimal (the
-    # kernel discounts discards that provably couldn't beat the result)
-    return PhaseStats(pruned, cost, cost, phased, phased_snvs, hom, skipped)
+    if estimate:
+        # --stats-file semantics: estimated_cost is the root value of the
+        # reference's right-to-left heuristic sweep, so cost_ratio compares
+        # like-for-like (ref: astar_phaser.rs:246-292, phase_stats.rs:130-199)
+        from hiphase_tpu.phasing.astar import (
+            MAX_SEGMENT_SIZE, _BlockReads, calculate_astar_heuristic,
+        )
+        reads = _BlockReads(data.read_segments, len(data.variants))
+        heuristics, _bad = calculate_astar_heuristic(
+            len(data.variants), MAX_SEGMENT_SIZE, reads, 1000, 3,
+            [v.is_ignored for v in data.variants])
+        estimated = heuristics[0]
+    else:
+        # no estimate requested: report the exact cost (cost_ratio 1.0);
+        # pruned==0 still means provably optimal (the kernel discounts
+        # discards that provably couldn't beat the result)
+        estimated = cost
+    return PhaseStats(pruned, estimated, cost, phased, phased_snvs, hom,
+                      skipped)
 
 
 @dataclass
@@ -114,11 +130,17 @@ class BatchedDeviceSolver:
     """Buckets prepared blocks into fixed-shape padded batches and solves
     them on the accelerator; results flow back through an async pipeline."""
 
-    def __init__(self, beam_width: int = 256, batch_size: int = 32,
+    def __init__(self, beam_width: int | None = None, batch_size: int = 32,
                  min_queue_size: int = 1000, queue_increment: int = 3,
-                 tile: int = TILE):
-        self.fast_width = _pad_width(beam_width)
-        self.full_width = max(self.fast_width, _pad_width(min_queue_size))
+                 tile: int = TILE, compute_estimates: bool = False):
+        self.compute_estimates = compute_estimates
+        # default: solve once at the full queue-size width (the reference's
+        # effective search budget, ref: cli.rs:214-226); an explicit smaller
+        # beam_width enables the fast-then-escalate schedule instead
+        self.full_width = _pad_width(min_queue_size)
+        self.fast_width = self.full_width if beam_width is None \
+            else _pad_width(beam_width)
+        self.full_width = max(self.fast_width, self.full_width)
         self.batch_cap = max(batch_size, 1)
         self.min_queue_size = min_queue_size
         self.queue_increment = queue_increment
@@ -225,7 +247,9 @@ class BatchedDeviceSolver:
             nv = len(p.data.variants)
             bh1 = [int(x) for x in h1a[i, :nv]]
             bh2 = [int(x) for x in h2a[i, :nv]]
-            stats = _stats_from_beam(p.data, bh1, bh2, int(cost[i]), blk_pruned)
+            stats = _stats_from_beam(p.data, bh1, bh2, int(cost[i]),
+                                     blk_pruned,
+                                     estimate=self.compute_estimates)
             out.append(finalize_block(p.data, bh1, bh2, stats))
         return out
 
