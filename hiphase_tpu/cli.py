@@ -131,7 +131,10 @@ def check_settings(args) -> None:
         if not (os.path.exists(vcf + ".tbi") or os.path.exists(vcf + ".csi")):
             raise SystemExit(f"VCF index not found for: {vcf}")
     for bam in args.bams:
-        if not os.path.exists(bam + ".bai"):
+        if bam.endswith(".cram"):
+            if not os.path.exists(bam + ".crai"):
+                raise SystemExit(f"CRAM index not found for: {bam}")
+        elif not os.path.exists(bam + ".bai"):
             raise SystemExit(f"BAM index not found for: {bam}")
 
     if len(args.vcfs) != len(args.output_vcfs):
@@ -211,6 +214,13 @@ def _main(argv=None) -> int:
         raise SystemExit("--ignore-read-groups cannot be used with multiple "
                          "sample names")
 
+    logger.info("Loading reference genome...")
+    reference_genome = ReferenceGenome.from_fasta(args.reference)
+    # CRAM containers encode/decode against the reference; register it
+    # before any alignment file is opened (by-extension dispatch)
+    from hiphase_tpu.io.bam import set_cram_reference
+    set_cram_reference(reference_genome)
+
     # per-sample BAM assignment + block iterators (ref: main.rs:77-141)
     sample_to_bams: dict[str, list[str]] = {}
     sample_to_output_bams: dict[str, list[str]] = {}
@@ -264,8 +274,6 @@ def _main(argv=None) -> int:
         if args.haplotag_file and is_writer_host else None
     block_collector = BlockStatsCollector()
 
-    logger.info("Loading reference genome...")
-    reference_genome = ReferenceGenome.from_fasta(args.reference)
 
     max_chrom_len = max((reference_genome.contig_length(c)
                          for c in reference_genome.contig_keys()), default=0)

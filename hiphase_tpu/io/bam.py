@@ -252,6 +252,29 @@ class SamHeader:
         return SamHeader(text, self.ref_names, self.ref_lengths)
 
 
+_CRAM_REFERENCE = None
+
+
+def set_cram_reference(reference_genome) -> None:
+    """Register the reference genome used to decode/encode CRAM containers
+    (the analog of htslib's CRAM reference requirement). The CLI calls this
+    once after loading the FASTA; forked workers inherit it."""
+    global _CRAM_REFERENCE
+    _CRAM_REFERENCE = reference_genome
+
+
+def open_alignment(path: str):
+    """Open a BAM or CRAM by extension (ref: ordered_bam_writer.rs:76-80).
+    CRAM requires `set_cram_reference` to have been called."""
+    if path.endswith(".cram"):
+        from hiphase_tpu.io.cram import CramError, CramReader
+        if _CRAM_REFERENCE is None:
+            raise CramError(
+                "CRAM input requires the reference genome (--reference)")
+        return CramReader(path, _CRAM_REFERENCE)
+    return BamReader(path)
+
+
 class BamReader:
     """Indexed BAM reader. ``fetch(chrom, start, end)`` uses the BAI index
     when present; falls back to a full scan for index-less small files."""

@@ -110,7 +110,59 @@ class BamSpanIndex:
         return self._chroms.get(
             name, ChromSpans(empty, empty, empty, empty, empty, empty))
 
+    def _scan_cram(self) -> dict[str, ChromSpans] | None:
+        """One-pass Python scan of a CRAM input (the native BGZF walker does
+        not apply); same arrays and query semantics as the BAM path."""
+        from hiphase_tpu.io.bam import open_alignment
+
+        per_chrom: dict[int, list] = {}
+        with open_alignment(self.path) as rd:
+            names = rd.header.ref_names
+            for rec in rd:
+                if rec.refid < 0:
+                    continue
+                if (rec.flag & _FILTER_MASK) or rec.mapq < self.min_mapq:
+                    continue
+                rows = per_chrom.setdefault(rec.refid, [[], [], []])
+                row = len(rows[0])
+                rows[0].append(rec.pos)
+                rows[1].append(rec.reference_end())
+                sa = rec.get_tag("SA")
+                if sa:
+                    chrom = names[rec.refid]
+                    for entry in sa.rstrip(";").split(";"):
+                        if not entry:
+                            continue
+                        f = entry.split(",")
+                        if f[0] != chrom:
+                            continue
+                        sa_start = int(f[1])
+                        span = 0
+                        num = 0
+                        for ch in f[3]:
+                            if ch.isdigit():
+                                num = num * 10 + int(ch)
+                            else:
+                                if ch in "MD=X":
+                                    span += num
+                                num = 0
+                        rows[2].append((row, sa_start, sa_start + span,
+                                        int(f[4])))
+        chroms: dict[str, ChromSpans] = {}
+        for tid, (starts, ends, sa) in per_chrom.items():
+            sa_row = np.asarray([s[0] for s in sa], dtype=np.int64)
+            chroms[names[tid]] = ChromSpans(
+                np.asarray(starts, dtype=np.int64),
+                np.asarray(ends, dtype=np.int64),
+                sa_row,
+                np.asarray([s[1] for s in sa], dtype=np.int64),
+                np.asarray([s[2] for s in sa], dtype=np.int64),
+                np.asarray([s[3] for s in sa], dtype=np.int64))
+        return chroms
+
     def _scan(self) -> dict[str, ChromSpans] | None:
+        if self.path.endswith(".cram"):
+            return self._scan_cram()
         reader = BamReader(self.path)
         try:
             names = reader.header.ref_names

@@ -18,7 +18,7 @@ import logging
 from dataclasses import dataclass, field
 
 from hiphase_tpu.core.variants import VariantType, Zygosity
-from hiphase_tpu.io.bam import BamReader, BamRecord
+from hiphase_tpu.io.bam import BamRecord, open_alignment
 from hiphase_tpu.io.vcf import VcfReader, VcfRecord
 
 logger = logging.getLogger(__name__)
@@ -121,7 +121,7 @@ def get_sample_bams(bam_paths: list[str], sample_name: str) -> list[str]:
     BAMs without RG/SM or with multiple samples (ref: block_gen.rs:44-89)."""
     out = []
     for path in bam_paths:
-        with BamReader(path) as bam:
+        with open_alignment(path) as bam:
             samples = bam.header.samples()
             if not samples:
                 raise BlockGenError(
@@ -218,7 +218,7 @@ class PhaseBlockIterator:
         if any(cs != contig_sets[0] for cs in contig_sets[1:]):
             raise BlockGenError("Contig sets in the VCF files do not match")
         self.contigs = self.vcf_readers[0].header.contigs()
-        self.bam_readers = [BamReader(p) for p in bam_paths]
+        self.bam_readers = [open_alignment(p) for p in bam_paths]
         # one-pass native span index replaces per-variant BAM fetches; the
         # fetch-based path below remains as the no-native fallback (and the
         # parity oracle, tests/test_span_index.py)

@@ -20,7 +20,7 @@ from hiphase_tpu.align.wfa_graph import WFAGraph, WFAGraphError
 from hiphase_tpu.core.read_segments import ReadSegment, collapse_read_segments
 from hiphase_tpu.core.reference_genome import ReferenceGenome
 from hiphase_tpu.core.variants import Variant, VariantType
-from hiphase_tpu.io.bam import BamReader, BamRecord
+from hiphase_tpu.io.bam import BamRecord, open_alignment
 from hiphase_tpu.phasing.block_gen import PhaseBlock, filter_out_alignment_record
 from hiphase_tpu.phasing.read_parsing import (
     GlobalRealignmentConfig, INDEL_QUAL, SNV_QUAL, SV_INDEL_QUAL, TR_QUAL,
@@ -436,7 +436,7 @@ def load_full_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
         chrom_seq = reference_genome.get_full_chromosome(phase_problem.chrom)
         batched_ok = True
         for bam_path in bam_paths:
-            with BamReader(bam_path) as bam:
+            with open_alignment(bam_path) as bam:
                 chunks = bam.fetch_raw(phase_problem.chrom,
                                        phase_problem.start,
                                        phase_problem.end + 1, min_mapq)
@@ -464,7 +464,7 @@ def load_full_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
     total_parsed = 0.0
 
     for bam_path in bam_paths:
-        with BamReader(bam_path) as bam:
+        with open_alignment(bam_path) as bam:
             for read in bam.fetch(phase_problem.chrom, phase_problem.start,
                                   phase_problem.end + 1):
                 if filter_out_alignment_record(read, min_mapq):

@@ -18,7 +18,7 @@ import numpy as np
 
 from hiphase_tpu.core.read_segments import ReadSegment, collapse_read_segments
 from hiphase_tpu.core.variants import AlleleType, Variant, VariantType
-from hiphase_tpu.io.bam import BamReader, BamRecord
+from hiphase_tpu.io.bam import BamRecord, open_alignment
 from hiphase_tpu.phasing.block_gen import PhaseBlock, filter_out_alignment_record
 from hiphase_tpu.writers.phase_stats import ReadStats
 
@@ -397,7 +397,7 @@ def load_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
     pack = build_variant_pack(variant_calls)
 
     for bam_path in bam_paths:
-        with BamReader(bam_path) as bam:
+        with open_alignment(bam_path) as bam:
             if _realign_block_native(bam, phase_problem, pack, joint_stats,
                                      read_groups, min_mapq):
                 continue

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import logging
 
-from hiphase_tpu.io.bam import BamReader, BamWriter
+from hiphase_tpu.io.bam import BamWriter, open_alignment
 
 logger = logging.getLogger(__name__)
 
@@ -25,14 +25,25 @@ class OrderedBamWriter:
                  command_line: str = "", io_threads: int = 4):
         assert len(input_bams) == len(output_bams)
         self.sample_name = sample_name
-        self.readers = [BamReader(p) for p in input_bams]
+        self.readers = [open_alignment(p) for p in input_bams]
         self.writers = []
         for rd, out_path in zip(self.readers, output_bams):
             header = rd.header.with_pg_line(
                 f"hiphase-tpu-v{program_version}", "hiphase-tpu",
                 program_version, command_line)
-            self.writers.append(BamWriter(out_path, header,
-                                          io_threads=io_threads))
+            if out_path.endswith(".cram"):
+                # CRAM output by extension (ref: ordered_bam_writer.rs:76-80)
+                from hiphase_tpu.io.bam import _CRAM_REFERENCE
+                from hiphase_tpu.io.cram import CramError, CramWriter
+                if _CRAM_REFERENCE is None:
+                    raise CramError("CRAM output requires the reference "
+                                    "genome (--reference)")
+                self.writers.append(CramWriter(out_path, header,
+                                               _CRAM_REFERENCE,
+                                               io_threads=io_threads))
+            else:
+                self.writers.append(BamWriter(out_path, header,
+                                              io_threads=io_threads))
         self.map_store: dict[int, object] = {}
         self.skip_set: set[int] = set()
         self.current_index = 0
