@@ -62,6 +62,9 @@ class ChromSpans:
         the first k reads starting at/after pos (enough to determine the
         global k-th smallest, matching the per-BAM fetch short-circuit)."""
         cov = self.starts[self.covering(pos)]
+        # strict start < pos: reads starting exactly at pos are already in
+        # the [at:at+k] tail below, and the per-locus fetch counts them once
+        cov = cov[cov < pos]
         at = int(np.searchsorted(self.starts, pos, "left"))
         return np.concatenate([cov, self.starts[at:at + k]])
 

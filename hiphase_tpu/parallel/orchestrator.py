@@ -39,8 +39,8 @@ import numpy as np
 
 from hiphase_tpu.phasing.astar import astar_solver
 from hiphase_tpu.phasing.beam import (
-    MAX_HETS, assign_slots, beam_init_state, pack_job_stats, tensorize_block,
-    tiles_backtrace, tiles_forward, unpack_job_stats,
+    assign_slots, beam_init_state, max_hets_for, pack_job_stats,
+    tensorize_block, tiles_backtrace, tiles_forward, unpack_job_stats,
 )
 from hiphase_tpu.phasing.phaser import BlockData, finalize_block
 from hiphase_tpu.core.variants import AlleleType, VariantType
@@ -77,7 +77,8 @@ def _pad_width(w: int) -> int:
 
 
 def _stats_from_beam(data: BlockData, h1, h2, cost: int, pruned: int,
-                     estimate: bool = False) -> PhaseStats:
+                     estimate: bool = False, min_queue_size: int = 1000,
+                     queue_increment: int = 3) -> PhaseStats:
     phased = sum(1 for a, b in zip(h1, h2) if a != b)
     phased_snvs = sum(
         1 for i, (a, b) in enumerate(zip(h1, h2))
@@ -93,8 +94,8 @@ def _stats_from_beam(data: BlockData, h1, h2, cost: int, pruned: int,
         )
         reads = _BlockReads(data.read_segments, len(data.variants))
         heuristics, _bad = calculate_astar_heuristic(
-            len(data.variants), MAX_SEGMENT_SIZE, reads, 1000, 3,
-            [v.is_ignored for v in data.variants])
+            len(data.variants), MAX_SEGMENT_SIZE, reads, min_queue_size,
+            queue_increment, [v.is_ignored for v in data.variants])
         estimated = heuristics[0]
     else:
         # no estimate requested: report the exact cost (cost_ratio 1.0);
@@ -178,7 +179,7 @@ class BatchedDeviceSolver:
         _slots, n_slots = assign_slots(data.read_segments) \
             if data.read_segments else ([], 1)
         rb = _bucket_of(n_slots, READ_BUCKETS)
-        if rb is None or nv > MAX_HETS:
+        if rb is None or nv > max_hets_for(self.full_width):
             # beyond the slot ladder (pathological coverage): host oracle
             result = astar_solver(data.phase_block.block_index, data.variants,
                                   data.read_segments, self.min_queue_size,
@@ -249,7 +250,9 @@ class BatchedDeviceSolver:
             bh2 = [int(x) for x in h2a[i, :nv]]
             stats = _stats_from_beam(p.data, bh1, bh2, int(cost[i]),
                                      blk_pruned,
-                                     estimate=self.compute_estimates)
+                                     estimate=self.compute_estimates,
+                                     min_queue_size=self.min_queue_size,
+                                     queue_increment=self.queue_increment)
             out.append(finalize_block(p.data, bh1, bh2, stats))
         return out
 

@@ -56,11 +56,25 @@ BIG = 2_147_000_000
 
 # Secondary ranking key packs (max_hets − hets, insertion order) into one
 # int32: hets in the high bits (inverted so fewer-hets ranks later), the
-# candidate's flat index (slot·4 + choice) in the low 13 bits. Bounds:
-# hets ≤ MAX_HETS (so ≤ 131071 variants per block) and beam width ≤ 2048
-# (4·W ≤ 8192 candidates).
-_ORDER_BITS = 13
-MAX_HETS = (1 << 17) - 1
+# candidate's flat index (slot·4 + choice) in the low bits. The bit split is
+# derived from the beam width so any --phase-min-queue-size is safe: the
+# order field must hold 4·W candidate indices, and the het counter gets the
+# remaining bits (callers gate blocks with more hets to the host oracle).
+
+
+def order_bits_for(width: int) -> int:
+    """Low bits reserved for the flat candidate index (slot·4 + choice)."""
+    return max(2, (4 * width - 1).bit_length())
+
+
+def max_hets_for(width: int) -> int:
+    """Largest per-block het count the packed sort key can carry."""
+    return (1 << (31 - order_bits_for(width))) - 1
+
+
+# Default-width ceiling (W ≤ 2048 → 262143 hets); kept as a module constant
+# for callers that size host-side buffers before choosing a width.
+MAX_HETS = max_hets_for(2048)
 
 # Extension order: 0|1, 1|0, 0/0, 1/1 (ref: astar_phaser.rs:535-540).
 # Encoded arithmetically so no constant tables are embedded in the program:
@@ -143,17 +157,19 @@ def _step(state, inputs, beam_width: int):
     # secondary key packs hets and the flat candidate index so the survivors'
     # parent/choice/hets decode straight out of the sorted keys (one sort of
     # two int32 operands instead of a 7-operand sort)
+    order_bits = order_bits_for(beam_width)
+    hets_cap = max_hets_for(beam_width)
     order = slot_ids * 4 + choice_ids
     k_cost = jnp.where(cand_valid, cand_cost, BIG).reshape(B, W * 4)
-    k_sec = ((MAX_HETS - cand_hets) << _ORDER_BITS | order).reshape(B, W * 4)
+    k_sec = ((hets_cap - cand_hets) << order_bits | order).reshape(B, W * 4)
     sorted_cost, sorted_sec = jax.lax.sort((k_cost, k_sec), num_keys=2)
 
     new_cost = sorted_cost[:, :beam_width]
     sec = sorted_sec[:, :beam_width]
-    sel_flat = sec & ((1 << _ORDER_BITS) - 1)        # slot·4 + choice
+    sel_flat = sec & ((1 << order_bits) - 1)         # slot·4 + choice
     sel_parent = sel_flat >> 2
     sel_choice = sel_flat & 3
-    new_hets = MAX_HETS - (sec >> _ORDER_BITS)
+    new_hets = hets_cap - (sec >> order_bits)
     new_valid = new_cost < BIG
 
     bidx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)

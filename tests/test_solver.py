@@ -227,3 +227,18 @@ def test_slotted_with_ignored_and_reset_collision():
                           resets=rs[None])
     assert int(r_slot.cost[0]) == int(r_dense.cost[0])
     assert list(r_slot.h1[0]) == list(r_dense.h1[0])
+
+
+def test_wide_beam_over_2048_correct():
+    """Beam widths above 2048 (a supported --phase-min-queue-size) must not
+    overflow the packed sort key: the order field is sized from the width."""
+    from hiphase_tpu.phasing.beam import max_hets_for, order_bits_for
+    assert order_bits_for(4096) == 14
+    assert max_hets_for(4096) == (1 << 17) - 1
+    rng = np.random.default_rng(7)
+    variants, reads, _h1, _h2 = make_block(rng, 10, 12, flip_prob=0.15)
+    ref = astar_solver(0, variants, reads, 1000, 3)
+    h1, h2, cost, _pruned = run_beam_single(variants, reads, beam_width=2560)
+    assert cost == ref.statistics.actual_cost
+    assert (h1 == ref.haplotype_1 and h2 == ref.haplotype_2) or \
+        (h1 == ref.haplotype_2 and h2 == ref.haplotype_1)

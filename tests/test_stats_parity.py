@@ -2,6 +2,8 @@
 heuristic estimate (and therefore the same cost_ratio semantics) as the
 host A* engine (ref: astar_phaser.rs:246-292, phase_stats.rs:130-199)."""
 
+import pytest
+
 from hiphase_tpu.cli import main as cli_main
 
 from tests.sim import build_dataset
@@ -16,18 +18,23 @@ def _stats_rows(path):
     return rows
 
 
-def test_estimated_cost_matches_astar(tmp_path):
+@pytest.mark.parametrize("queue_args", [
+    [],                                                     # defaults (1000, 3)
+    ["--phase-min-queue-size", "200", "--phase-queue-increment", "7"],
+])
+def test_estimated_cost_matches_astar(tmp_path, queue_args):
     fasta, vcf, bam, _contigs, _ = build_dataset(
         tmp_path, seed=41, n_contigs=3, contig_len=6000, coverage=15)
     stats_a = tmp_path / "a.stats.csv"
     stats_t = tmp_path / "t.stats.csv"
     assert cli_main(["--bam", bam, "--vcf", vcf, "--reference", fasta,
                      "--output-vcf", str(tmp_path / "a.vcf.gz"),
-                     "--stats-file", str(stats_a)]) == 0
+                     "--engine", "astar",
+                     "--stats-file", str(stats_a)] + queue_args) == 0
     assert cli_main(["--bam", bam, "--vcf", vcf, "--reference", fasta,
                      "--output-vcf", str(tmp_path / "t.vcf.gz"),
                      "--engine", "tpu", "--batch-size", "4",
-                     "--stats-file", str(stats_t)]) == 0
+                     "--stats-file", str(stats_t)] + queue_args) == 0
     rows_a = _stats_rows(stats_a)
     rows_t = _stats_rows(stats_t)
     assert len(rows_a) == len(rows_t) and rows_a
