@@ -85,7 +85,8 @@ def _parser():
     ap.add_argument("--error-rate", type=float, default=0.01)
     ap.add_argument("--block-kb", type=int, default=250)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--engine", default="tpu", choices=["astar", "tpu"])
+    ap.add_argument("--engine", default="auto",
+                    choices=["auto", "astar", "tpu", "native"])
     ap.add_argument("--threads", type=int, default=2)
     ap.add_argument("--global", dest="global_mode", action="store_true",
                     help="enable global realignment (dual mode); default is "

@@ -58,9 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     p.add_argument("-t", "--threads", type=int, default=1,
                    help="Number of host threads")
-    p.add_argument("--engine", choices=["astar", "tpu"], default="astar",
-                   help="Phasing engine: host A* oracle or the batched TPU "
-                        "beam engine")
+    p.add_argument("--engine", choices=["auto", "tpu", "native", "astar"],
+                   default="auto",
+                   help="Phasing engine: 'tpu' = batched device beam engine; "
+                        "'native' = C++ host beam engine; 'astar' = host A* "
+                        "oracle; 'auto' (default) = device when a healthy "
+                        "accelerator answers a probe, else native, else "
+                        "astar. All engines produce identical output.")
     p.add_argument("--beam-width", type=int, default=None,
                    help="TPU engine fast beam width; blocks not provably "
                         "optimal at this width re-solve at the full "
@@ -214,6 +218,13 @@ def _main(argv=None) -> int:
         raise SystemExit("--ignore-read-groups cannot be used with multiple "
                          "sample names")
 
+    # resolve --engine auto in the background (the device probe may need to
+    # initialize the JAX backend, ~1-2 s) while the reference loads
+    from concurrent.futures import ThreadPoolExecutor
+    from hiphase_tpu.parallel.engine_select import choose_engine
+    engine_future = ThreadPoolExecutor(max_workers=1).submit(
+        choose_engine, args.engine)
+
     logger.info("Loading reference genome...")
     reference_genome = ReferenceGenome.from_fasta(args.reference)
     # CRAM containers encode/decode against the reference; register it
@@ -244,14 +255,19 @@ def _main(argv=None) -> int:
             allow_supplemental_joins=not args.disable_supplemental_joins))
     block_iterator = MultiPhaseBlockIterator(block_iterators)
 
+    engine = engine_future.result()
+    if engine != args.engine:
+        logger.info("Engine 'auto' resolved to %r", engine)
+
     # multi-host: every process runs the same program; blocks are sharded
     # round-robin by host and results replay to host 0, which alone runs
-    # the writers (SURVEY.md §2.9/§5.8)
+    # the writers (SURVEY.md §2.9/§5.8). Activation is engine-independent:
+    # any engine can solve this host's shard.
     multihost = False
     is_writer_host = True
-    if args.engine == "tpu":
+    if engine == "tpu" or "jax" in sys.modules:
         import jax
-        if jax.process_count() > 1:
+        if jax.distributed.is_initialized() and jax.process_count() > 1:
             multihost = True
             is_writer_host = jax.process_index() == 0
 
@@ -331,19 +347,9 @@ def _main(argv=None) -> int:
                 break
             yield block
 
-    if args.engine == "tpu":
-        # persistent compilation cache: bucket-shape compiles are expensive
-        # on remote-compile TPU backends and fully reusable across runs
-        import jax
-        try:
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.path.expanduser("~/.cache/hiphase_tpu_jax"))
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:  # older jax without these options
-            pass
-        from hiphase_tpu.parallel.orchestrator import (
-            BatchedDeviceSolver, iter_prepared)
+    if engine in ("tpu", "native"):
+        from hiphase_tpu.parallel.orchestrator import iter_prepared
+        from hiphase_tpu.phasing.native_beam import NativeBeamSolver
         from hiphase_tpu.phasing.phaser import prepare_block
 
         def prepare_fn(block):
@@ -353,11 +359,36 @@ def _main(argv=None) -> int:
                 args.min_matched_alleles, args.min_mapping_quality,
                 global_config)
 
-        device_solver = BatchedDeviceSolver(
+        native_solver = NativeBeamSolver(
             beam_width=args.beam_width, batch_size=args.batch_size,
             min_queue_size=args.phase_min_queue_size,
             queue_increment=args.phase_queue_increment,
+            threads=args.threads,
             compute_estimates=args.stats_file is not None)
+        if engine == "tpu":
+            # persistent compilation cache: bucket-shape compiles are
+            # expensive on remote-compile TPU backends and fully reusable
+            # across runs
+            import jax
+            try:
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    os.path.expanduser("~/.cache/hiphase_tpu_jax"))
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception:  # older jax without these options
+                pass
+            from hiphase_tpu.parallel.engine_select import ResilientSolver
+            from hiphase_tpu.parallel.orchestrator import BatchedDeviceSolver
+            device_solver = ResilientSolver(
+                BatchedDeviceSolver(
+                    beam_width=args.beam_width, batch_size=args.batch_size,
+                    min_queue_size=args.phase_min_queue_size,
+                    queue_increment=args.phase_queue_increment,
+                    compute_estimates=args.stats_file is not None),
+                native_solver)
+        else:
+            device_solver = native_solver
         if multihost:
             # every host walks the SAME global stream (the collective
             # cadence must line up), solves its round-robin shard, and

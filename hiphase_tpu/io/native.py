@@ -15,6 +15,10 @@ import numpy as np
 _LIB = None
 _TRIED = False
 
+
+def _ptr(arr: np.ndarray) -> ctypes.c_void_p:
+    return ctypes.c_void_p(arr.ctypes.data)
+
 _SO_PATHS = [
     os.path.join(os.path.dirname(__file__), "..", "..", "native",
                  "libhiphase_native.so"),
@@ -445,3 +449,49 @@ def wfa_build(reference, ref_start, ref_end, var_pos, var_ref_len,
     na = int(n_alleles[0])
     return (node_off[:n_nodes + 1], node_blob, edge_off[:n_nodes + 1].copy(),
             edge_dst, (alle_node[:na], alle_var[:na], alle_val[:na]))
+
+
+def beam_solve_batch_native(nv, skip_off, skip, read_off, seg_start, seg_off,
+                            alleles, quals, fast_width: int, full_width: int,
+                            threads: int = 1):
+    """Native lockstep-beam solve over a batch of blocks (see
+    hn_beam_solve_batch in native/hiphase_native.cc). Returns
+    (h1, h2, cost, hets, pruned, expansions) or None when the native library
+    is unavailable or a block exceeds the ranking-key capacity."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib.hn_beam_solve_batch, "_hn_ready"):
+        lib.hn_beam_solve_batch.restype = ctypes.c_int32
+        lib.hn_beam_solve_batch.argtypes = [
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.hn_beam_solve_batch._hn_ready = True
+    nv = np.ascontiguousarray(nv, dtype=np.int32)
+    skip_off = np.ascontiguousarray(skip_off, dtype=np.int64)
+    skip = np.ascontiguousarray(skip, dtype=np.uint8)
+    read_off = np.ascontiguousarray(read_off, dtype=np.int64)
+    seg_start = np.ascontiguousarray(seg_start, dtype=np.int32)
+    seg_off = np.ascontiguousarray(seg_off, dtype=np.int64)
+    alleles = np.ascontiguousarray(alleles, dtype=np.uint8)
+    quals = np.ascontiguousarray(quals, dtype=np.uint8)
+    n_blocks = len(nv)
+    total_v = int(skip_off[-1])
+    h1 = np.empty(total_v, dtype=np.uint8)
+    h2 = np.empty(total_v, dtype=np.uint8)
+    cost = np.empty(n_blocks, dtype=np.int32)
+    hets = np.empty(n_blocks, dtype=np.int32)
+    pruned = np.empty(n_blocks, dtype=np.int32)
+    expansions = np.empty(n_blocks, dtype=np.int64)
+    rc = lib.hn_beam_solve_batch(
+        n_blocks, _ptr(nv), _ptr(skip_off), _ptr(skip), _ptr(read_off),
+        _ptr(seg_start), _ptr(seg_off), _ptr(alleles), _ptr(quals),
+        int(fast_width), int(full_width), int(threads), _ptr(h1), _ptr(h2),
+        _ptr(cost), _ptr(hets), _ptr(pruned), _ptr(expansions))
+    if rc != 0:
+        return None
+    return h1, h2, cost, hets, pruned, expansions

@@ -1473,3 +1473,359 @@ int64_t hn_wfa_batch(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Lockstep beam diplotype solver — the native host production engine.
+//
+// Exact host mirror of the device kernel in hiphase_tpu/phasing/beam.py
+// (itself a TPU-first redesign of the reference A*, ref: src/astar_phaser.rs):
+// a fixed-width beam advances over variant columns; candidates are ranked by
+// (MEC cost asc, num_hets desc, insertion order asc) — the reference's
+// priority triple (astar_phaser.rs:131-133) — with expansion order
+// 0|1, 1|0, 0/0, 1/1 and the 1|0 twin suppressed while a node's haplotypes
+// are identical (astar_phaser.rs:535-560). Optimality accounting matches the
+// device kernel: a step's cheapest discarded candidate is compared against
+// the final cost, so pruned == 0 still proves optimality
+// (ref contract: docs/user_guide.md:310).
+//
+// Differences from the device kernel are representational only: reads are
+// interval-packed into reusable slots (same as beam.py's slotted mode) but
+// per-column *active lists* replace dense [R] rows, and a slot folds its
+// min(c1,c2) into the frozen cost when its read ends (beam.py folds at the
+// next occupant's start — cost-equivalent, both fold while the slot is idle).
+
+namespace beam_native {
+
+struct BlockIn {
+  int32_t nv;
+  const uint8_t* skip;        // [nv] ignored flags
+  int32_t n_reads;
+  const int32_t* seg_start;   // [n_reads] first variant index
+  const int64_t* seg_off;     // [n_reads+1] offsets into allele/qual blobs
+  const uint8_t* alleles;     // blob base
+  const uint8_t* quals;       // blob base
+};
+
+struct SolveOut {
+  int32_t cost = 0;
+  int32_t hets = 0;
+  int32_t pruned = 0;
+  int64_t expansions = 0;     // candidate nodes generated (A* analog)
+};
+
+// Greedy interval slot allocation (beam.py assign_slots): reads ordered by
+// (start, end) reuse the slot whose previous occupant ended earliest.
+static int32_t assign_slots(const BlockIn& in, std::vector<int32_t>* order,
+                            std::vector<int32_t>* slot_of) {
+  int32_t n = in.n_reads;
+  order->resize(n);
+  for (int32_t i = 0; i < n; ++i) (*order)[i] = i;
+  auto end_of = [&](int32_t i) {
+    return in.seg_start[i] +
+           static_cast<int32_t>(in.seg_off[i + 1] - in.seg_off[i]);
+  };
+  std::sort(order->begin(), order->end(), [&](int32_t a, int32_t b) {
+    if (in.seg_start[a] != in.seg_start[b])
+      return in.seg_start[a] < in.seg_start[b];
+    if (end_of(a) != end_of(b)) return end_of(a) < end_of(b);
+    return a < b;
+  });
+  slot_of->assign(n, 0);
+  using HeapEntry = std::pair<int32_t, int32_t>;  // (end, slot)
+  std::priority_queue<HeapEntry, std::vector<HeapEntry>,
+                      std::greater<HeapEntry>> free_slots;
+  int32_t next_slot = 0;
+  for (int32_t i : *order) {
+    int32_t s;
+    if (!free_slots.empty() && free_slots.top().first <= in.seg_start[i]) {
+      s = free_slots.top().second;
+      free_slots.pop();
+    } else {
+      s = next_slot++;
+    }
+    (*slot_of)[i] = s;
+    free_slots.emplace(end_of(i), s);
+  }
+  return std::max(next_slot, 1);
+}
+
+// One active (slot, column) entry: dA/dB are the flip costs against
+// haplotype allele 0 / allele 1 at this column.
+struct Active {
+  int32_t slot;
+  int32_t dA;
+  int32_t dB;
+};
+
+// Solve one block at a single beam width. Returns false when nv is too
+// large for the packed 64-bit ranking key at this width (caller falls back).
+static bool solve_one(const BlockIn& in, int32_t W, uint8_t* h1, uint8_t* h2,
+                      SolveOut* out) {
+  const int32_t nv = in.nv;
+  if (nv == 0) {
+    *out = SolveOut();
+    return true;
+  }
+  int shift = 2;
+  while ((1 << shift) < 4 * W) ++shift;  // order_bits_for(W)
+  if (W > 32767) return false;           // parents stored as int16
+  if ((static_cast<uint64_t>(nv) << shift) >= (1ull << 32)) return false;
+
+  std::vector<int32_t> order, slot_of;
+  const int32_t S = assign_slots(in, &order, &slot_of);
+
+  // Per-column active lists (CSC layout) and fold events.
+  std::vector<int32_t> col_cnt(nv + 1, 0);
+  std::vector<int32_t> fold_cnt(nv + 1, 0);
+  for (int32_t i = 0; i < in.n_reads; ++i) {
+    int32_t st = in.seg_start[i];
+    int64_t o0 = in.seg_off[i], o1 = in.seg_off[i + 1];
+    for (int64_t o = o0; o < o1; ++o) {
+      if (in.alleles[o] < 2 && in.quals[o] > 0)
+        ++col_cnt[st + static_cast<int32_t>(o - o0)];
+    }
+    int32_t end = st + static_cast<int32_t>(o1 - o0);
+    if (end < nv) ++fold_cnt[end];
+  }
+  std::vector<int32_t> col_off(nv + 1, 0), fold_off(nv + 1, 0);
+  for (int32_t j = 0; j < nv; ++j) {
+    col_off[j + 1] = col_off[j] + col_cnt[j];
+    fold_off[j + 1] = fold_off[j] + fold_cnt[j];
+  }
+  std::vector<Active> active(col_off[nv]);
+  std::vector<int32_t> folds(fold_off[nv]);
+  {
+    std::vector<int32_t> cfill(col_off.begin(), col_off.end() - 1);
+    std::vector<int32_t> ffill(fold_off.begin(), fold_off.end() - 1);
+    for (int32_t i = 0; i < in.n_reads; ++i) {
+      int32_t st = in.seg_start[i];
+      int32_t s = slot_of[i];
+      int64_t o0 = in.seg_off[i], o1 = in.seg_off[i + 1];
+      for (int64_t o = o0; o < o1; ++o) {
+        uint8_t a = in.alleles[o];
+        int32_t q = in.quals[o];
+        if (a < 2 && q > 0) {
+          int32_t j = st + static_cast<int32_t>(o - o0);
+          active[cfill[j]++] = {s, a != 0 ? q : 0, a != 1 ? q : 0};
+        }
+      }
+      int32_t end = st + static_cast<int32_t>(o1 - o0);
+      if (end < nv) folds[ffill[end]++] = s;
+    }
+  }
+
+  // Beam state (double-buffered): per entry, per-slot running costs plus
+  // scalar (frozen, fluid, cost, hets, identical).
+  std::vector<int32_t> c1(static_cast<size_t>(W) * S, 0);
+  std::vector<int32_t> c2(static_cast<size_t>(W) * S, 0);
+  std::vector<int32_t> c1n(static_cast<size_t>(W) * S);
+  std::vector<int32_t> c2n(static_cast<size_t>(W) * S);
+  std::vector<int32_t> frozen(W, 0), fluid(W, 0), cost(W, 0), hets(W, 0);
+  std::vector<int32_t> frozen_n(W), fluid_n(W), cost_n(W), hets_n(W);
+  std::vector<uint8_t> ident(W, 1), ident_n(W);
+  int32_t n_beam = 1;
+
+  std::vector<int16_t> parents(static_cast<size_t>(nv) * W);
+  std::vector<uint8_t> choices(static_cast<size_t>(nv) * W);
+  std::vector<int32_t> prune_cnt(nv, 0), prune_min(nv, 0);
+
+  // candidate scratch: ranking keys, exactly the device's two sort operands
+  // concatenated: cost<<32 | (nv - hets)<<shift | (parent*4 + choice)
+  std::vector<uint64_t> keys(static_cast<size_t>(W) * 4);
+
+  // choice c: haplotype-1 allele a1 = c&1; haplotype-2 a2 = 1-((c&1)^(c>>1));
+  // deltas vs (dA, dB): c0: (dA,dB)  c1: (dB,dA)  c2: (dA,dA)  c3: (dB,dB)
+  for (int32_t j = 0; j < nv; ++j) {
+    int16_t* par_j = parents.data() + static_cast<size_t>(j) * W;
+    uint8_t* cho_j = choices.data() + static_cast<size_t>(j) * W;
+    // fold finished reads' slots into the frozen cost
+    for (int32_t fi = fold_off[j]; fi < fold_off[j + 1]; ++fi) {
+      int32_t s = folds[fi];
+      for (int32_t w = 0; w < n_beam; ++w) {
+        int32_t* r1 = &c1[static_cast<size_t>(w) * S + s];
+        int32_t* r2 = &c2[static_cast<size_t>(w) * S + s];
+        int32_t m = std::min(*r1, *r2);
+        frozen[w] += m;
+        fluid[w] -= m;
+        *r1 = 0;
+        *r2 = 0;
+      }
+    }
+    if (in.skip[j]) {
+      // ignored column: each entry extends once as Ambiguous/Ambiguous at
+      // unchanged cost; the beam is already in ranked order, so selection
+      // is the identity permutation
+      for (int32_t w = 0; w < n_beam; ++w) {
+        par_j[w] = static_cast<int16_t>(w);
+        cho_j[w] = 0;
+      }
+      out->expansions += n_beam;
+      continue;
+    }
+
+    int32_t n_cand = 0;
+    for (int32_t w = 0; w < n_beam; ++w) {
+      const int32_t* r1 = &c1[static_cast<size_t>(w) * S];
+      const int32_t* r2 = &c2[static_cast<size_t>(w) * S];
+      int32_t d0 = 0, d1 = 0, d2 = 0, d3 = 0;
+      for (int32_t ai = col_off[j]; ai < col_off[j + 1]; ++ai) {
+        const Active& a = active[ai];
+        int32_t x1 = r1[a.slot], x2 = r2[a.slot];
+        int32_t m = std::min(x1, x2);
+        d0 += std::min(x1 + a.dA, x2 + a.dB) - m;
+        d1 += std::min(x1 + a.dB, x2 + a.dA) - m;
+        d2 += std::min(x1 + a.dA, x2 + a.dA) - m;
+        d3 += std::min(x1 + a.dB, x2 + a.dB) - m;
+      }
+      int32_t base = frozen[w] + fluid[w];
+      uint64_t hetp1 =
+          static_cast<uint64_t>(nv - (hets[w] + 1)) << shift;  // het children
+      uint64_t het0 = static_cast<uint64_t>(nv - hets[w]) << shift;
+      uint64_t ord = static_cast<uint64_t>(w) * 4;
+      keys[n_cand++] =
+          (static_cast<uint64_t>(base + d0) << 32) | hetp1 | (ord + 0);
+      if (!ident[w])
+        keys[n_cand++] =
+            (static_cast<uint64_t>(base + d1) << 32) | hetp1 | (ord + 1);
+      keys[n_cand++] =
+          (static_cast<uint64_t>(base + d2) << 32) | het0 | (ord + 2);
+      keys[n_cand++] =
+          (static_cast<uint64_t>(base + d3) << 32) | het0 | (ord + 3);
+    }
+    out->expansions += n_cand;
+
+    int32_t n_keep = std::min(n_cand, W);
+    if (n_cand > W) {
+      std::nth_element(keys.begin(), keys.begin() + W, keys.begin() + n_cand);
+      prune_cnt[j] = n_cand - W;
+      prune_min[j] = static_cast<int32_t>(keys[W] >> 32);
+    }
+    std::sort(keys.begin(), keys.begin() + n_keep);
+
+    const uint64_t ord_mask = (1ull << shift) - 1;
+    for (int32_t i = 0; i < n_keep; ++i) {
+      uint64_t k = keys[i];
+      int32_t flat = static_cast<int32_t>(k & ord_mask);
+      int32_t p = flat >> 2, c = flat & 3;
+      par_j[i] = static_cast<int16_t>(p);
+      cho_j[i] = static_cast<uint8_t>(c);
+      int32_t new_cost = static_cast<int32_t>(k >> 32);
+      cost_n[i] = new_cost;
+      frozen_n[i] = frozen[p];
+      fluid_n[i] = new_cost - frozen[p];
+      hets_n[i] = hets[p] + (c < 2 ? 1 : 0);
+      ident_n[i] = ident[p] & (c >> 1);
+      int32_t* dst1 = &c1n[static_cast<size_t>(i) * S];
+      int32_t* dst2 = &c2n[static_cast<size_t>(i) * S];
+      const int32_t* src1 = &c1[static_cast<size_t>(p) * S];
+      const int32_t* src2 = &c2[static_cast<size_t>(p) * S];
+      std::memcpy(dst1, src1, sizeof(int32_t) * S);
+      std::memcpy(dst2, src2, sizeof(int32_t) * S);
+      for (int32_t ai = col_off[j]; ai < col_off[j + 1]; ++ai) {
+        const Active& a = active[ai];
+        // per-choice deltas: see table above
+        dst1[a.slot] += (c & 1) ? a.dB : a.dA;
+        dst2[a.slot] += ((c == 0) | (c == 3)) ? a.dB : a.dA;
+      }
+    }
+    n_beam = n_keep;
+    c1.swap(c1n);
+    c2.swap(c2n);
+    frozen.swap(frozen_n);
+    fluid.swap(fluid_n);
+    cost.swap(cost_n);
+    hets.swap(hets_n);
+    ident.swap(ident_n);
+  }
+
+  out->cost = frozen[0] + fluid[0];
+  out->hets = hets[0];
+  out->pruned = 0;
+  for (int32_t j = 0; j < nv; ++j) {
+    if (prune_cnt[j] > 0 && prune_min[j] <= out->cost)
+      out->pruned += prune_cnt[j];
+  }
+  // backtrace from the best entry (index 0 of the final ranked beam)
+  int32_t slot = 0;
+  for (int32_t j = nv - 1; j >= 0; --j) {
+    uint8_t c = choices[static_cast<size_t>(j) * W + slot];
+    if (in.skip[j]) {
+      h1[j] = 2;
+      h2[j] = 2;
+    } else {
+      h1[j] = c & 1;
+      h2[j] = 1 - ((c & 1) ^ (c >> 1));
+    }
+    slot = parents[static_cast<size_t>(j) * W + slot];
+  }
+  return true;
+}
+
+}  // namespace beam_native
+
+extern "C" {
+
+// Solve a batch of phase blocks with the native lockstep beam.
+//
+// Per-block inputs are concatenated; all offsets are element offsets.
+//   nv:         [n_blocks] variant counts
+//   skip_off:   [n_blocks+1] offsets into skip/h1/h2 (= cumulative nv)
+//   skip:       ignored-variant flags, length skip_off[n_blocks]
+//   read_off:   [n_blocks+1] offsets into seg_start (per-block read ranges)
+//   seg_start:  [total_reads] first variant index of each read segment
+//   seg_off:    [total_reads+1] offsets into alleles/quals
+//   alleles:    concatenated segment alleles (0/1 set, 2 ambiguous)
+//   quals:      concatenated segment quals (flip costs; 0 = no contribution)
+//   fast_width / full_width: escalation schedule — every block solves at
+//     fast_width; a block whose result is not provably optimal (pruned > 0)
+//     re-solves at full_width (the reference's queue-size budget,
+//     ref: cli.rs:214-226)
+//   threads:    host worker threads across blocks
+// Outputs (caller-allocated):
+//   h1/h2:      haplotype alleles, skip_off layout (2 where skipped)
+//   cost/hets/pruned: [n_blocks] (pruned from the final width used)
+//   expansions: [n_blocks] candidate nodes generated (across both widths)
+// Returns 0, or -1 if any block exceeds the ranking-key capacity (callers
+// gate such blocks to the host oracle beforehand; nothing is written then).
+int32_t hn_beam_solve_batch(
+    int32_t n_blocks, const int32_t* nv, const int64_t* skip_off,
+    const uint8_t* skip, const int64_t* read_off, const int32_t* seg_start,
+    const int64_t* seg_off, const uint8_t* alleles, const uint8_t* quals,
+    int32_t fast_width, int32_t full_width, int32_t threads, uint8_t* h1,
+    uint8_t* h2, int32_t* cost, int32_t* hets, int32_t* pruned,
+    int64_t* expansions) {
+  std::atomic<int32_t> failed(0);
+  parallel_for(n_blocks, threads, [&](int64_t b) {
+    beam_native::BlockIn in;
+    in.nv = nv[b];
+    in.skip = skip + skip_off[b];
+    in.n_reads = static_cast<int32_t>(read_off[b + 1] - read_off[b]);
+    in.seg_start = seg_start + read_off[b];
+    in.seg_off = seg_off + read_off[b];
+    in.alleles = alleles;
+    in.quals = quals;
+    beam_native::SolveOut out;
+    uint8_t* bh1 = h1 + skip_off[b];
+    uint8_t* bh2 = h2 + skip_off[b];
+    if (!beam_native::solve_one(in, fast_width, bh1, bh2, &out)) {
+      failed.store(1);
+      return;
+    }
+    if (out.pruned > 0 && full_width > fast_width) {
+      beam_native::SolveOut out2;
+      out2.expansions = out.expansions;
+      if (!beam_native::solve_one(in, full_width, bh1, bh2, &out2)) {
+        failed.store(1);
+        return;
+      }
+      out = out2;
+    }
+    cost[b] = out.cost;
+    hets[b] = out.hets;
+    pruned[b] = out.pruned;
+    expansions[b] = out.expansions;
+  });
+  return failed.load() ? -1 : 0;
+}
+
+}  // extern "C"

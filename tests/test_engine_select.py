@@ -1,0 +1,88 @@
+"""Engine auto-selection and device-health resilience
+(hiphase_tpu/parallel/engine_select.py): a hung device call must degrade the
+run to the native host engine with every outstanding block re-solved and no
+duplicate or lost results."""
+
+import time
+
+import numpy as np
+import pytest
+
+from hiphase_tpu.io import native
+from hiphase_tpu.parallel.engine_select import ResilientSolver, choose_engine
+from hiphase_tpu.phasing.native_beam import NativeBeamSolver
+from hiphase_tpu.phasing.phaser import BlockData
+from hiphase_tpu.phasing.block_gen import PhaseBlock
+
+from tests.test_solver import make_block
+
+
+def _block_data(seed, index):
+    rng = np.random.default_rng(seed)
+    variants, reads, _h1, _h2 = make_block(rng, 8, 10, flip_prob=0.1)
+    pb = PhaseBlock.new(index, "chr1", 0, 0, "SAMPLE", 1)
+    for v in variants:
+        pb.add_locus_variant("chr1", v.position, 0)
+    return BlockData(phase_block=pb, variants=variants, read_segments=reads,
+                     phasable_segments=[], hom_variants=[],
+                     read_stats=None)
+
+
+class HangingSolver:
+    """Device-solver stand-in that answers N times then hangs forever."""
+
+    def __init__(self, answers_before_hang: int):
+        self.remaining = answers_before_hang
+        self.inner = NativeBeamSolver(batch_size=1)
+
+    def submit(self, data):
+        if self.remaining <= 0:
+            time.sleep(3600)
+        self.remaining -= 1
+        return self.inner.submit(data)
+
+    def drain(self):
+        if self.remaining <= 0:
+            time.sleep(3600)
+        return self.inner.drain()
+
+
+@pytest.mark.skipif(not native.available(), reason="native library not built")
+def test_degrades_on_hang_no_lost_or_duplicate_blocks():
+    blocks = [_block_data(100 + i, i) for i in range(6)]
+    solver = ResilientSolver(HangingSolver(answers_before_hang=2),
+                             NativeBeamSolver(batch_size=2), timeout=0.5)
+    results = []
+    for b in blocks:
+        results.extend(solver.submit(b))
+    results.extend(solver.drain())
+    assert solver.degraded
+    got = sorted(pr.phase_block.block_index for pr, _hr in results)
+    assert got == list(range(6))
+
+
+@pytest.mark.skipif(not native.available(), reason="native library not built")
+def test_healthy_device_passes_through():
+    blocks = [_block_data(200 + i, i) for i in range(4)]
+    solver = ResilientSolver(HangingSolver(answers_before_hang=10**9),
+                             NativeBeamSolver(batch_size=2), timeout=30)
+    results = []
+    for b in blocks:
+        results.extend(solver.submit(b))
+    results.extend(solver.drain())
+    assert not solver.degraded
+    got = sorted(pr.phase_block.block_index for pr, _hr in results)
+    assert got == list(range(4))
+
+
+def test_choose_engine_explicit_passthrough():
+    assert choose_engine("astar") == "astar"
+    assert choose_engine("native") == "native"
+    assert choose_engine("tpu") == "tpu"
+
+
+def test_choose_engine_auto_on_cpu_prefers_native():
+    # tests pin jax to the CPU backend (conftest), so the probe must decline
+    resolved = choose_engine("auto")
+    expected = "native" if native.available() else "astar"
+    assert resolved == expected
