@@ -326,7 +326,7 @@ def _main(argv=None) -> int:
                 and (args.phase_singletons or block.num_variants > 1)
                 and block.num_variants > 0)
 
-    def emit(phase_result, haplotag_result):
+    def emit_sync(phase_result, haplotag_result):
         nonlocal results_received, total_variants
         total_variants += phase_result.phase_block.num_variants
         results_received += 1
@@ -338,6 +338,44 @@ def _main(argv=None) -> int:
                         "block %d", results_received,
                         results_received / elapsed, total_variants / elapsed,
                         vcf_writer.get_wait_block())
+
+    # the ordered writers drain on their own consumer thread so the VCF/BAM
+    # rewrite overlaps block gen + prepare + solve (the reference's
+    # producer/consumer split, ref: main.rs:325-462); bounded queue for
+    # backpressure, fail-fast error propagation back to the producer
+    import queue as _queue
+    import threading as _threading
+    write_queue: _queue.Queue = _queue.Queue(maxsize=256)
+    writer_errors: list[BaseException] = []
+
+    def _writer_loop():
+        while True:
+            item = write_queue.get()
+            if item is None:
+                return
+            try:
+                emit_sync(*item)
+            except BaseException as e:
+                writer_errors.append(e)
+                # keep draining so the producer never blocks on a full queue
+                while write_queue.get() is not None:
+                    pass
+                return
+
+    writer_thread = _threading.Thread(target=_writer_loop, daemon=True,
+                                      name="ordered-writers")
+    writer_thread.start()
+
+    def emit(phase_result, haplotag_result):
+        if writer_errors:
+            raise writer_errors[0]
+        write_queue.put((phase_result, haplotag_result))
+
+    def finish_writes():
+        write_queue.put(None)
+        writer_thread.join()
+        if writer_errors:
+            raise writer_errors[0]
 
     def windowed(iterator):
         for i, block in enumerate(iterator):
@@ -481,6 +519,8 @@ def _main(argv=None) -> int:
             else:
                 phase_result, haplotag_result = create_unphased_result(block)
             emit(phase_result, haplotag_result)
+
+    finish_writes()
 
     # finalization (ref: main.rs:464-570)
     if not is_writer_host:

@@ -495,3 +495,55 @@ def beam_solve_batch_native(nv, skip_off, skip, read_off, seg_start, seg_off,
     if rc != 0:
         return None
     return h1, h2, cost, hets, pruned, expansions
+
+
+def bam_span_scan_file(path: str, body_voffset: int, name_blob: np.ndarray,
+                       name_off: np.ndarray, min_mapq: int, filter_mask: int,
+                       threads: int = 2):
+    """Streaming whole-file BAM span scan (hn_span_scan_file): threaded
+    inflate + record walk + flag/MAPQ filter in one native pass. Returns
+    (tid i32, pos i64, end i64, sa_row i64, sa_start i64, sa_end i64,
+    sa_mapq i64) over filtered records, or None when unavailable/failed."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib.hn_span_scan_file, "_hn_ready"):
+        lib.hn_span_scan_file.restype = ctypes.c_void_p
+        lib.hn_span_scan_file.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+        lib.hn_span_scan_counts.restype = None
+        lib.hn_span_scan_counts.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                            ctypes.c_void_p]
+        lib.hn_span_scan_export.restype = None
+        lib.hn_span_scan_export.argtypes = [ctypes.c_void_p] + \
+            [ctypes.c_void_p] * 7
+        lib.hn_span_scan_free.restype = None
+        lib.hn_span_scan_free.argtypes = [ctypes.c_void_p]
+        lib.hn_span_scan_file._hn_ready = True
+    name_blob = np.ascontiguousarray(name_blob, dtype=np.uint8)
+    name_off = np.ascontiguousarray(name_off, dtype=np.int64)
+    h = lib.hn_span_scan_file(
+        path.encode(), body_voffset >> 16, body_voffset & 0xFFFF,
+        _ptr(name_blob), _ptr(name_off), len(name_off) - 1,
+        int(min_mapq), int(filter_mask), int(threads))
+    if not h:
+        return None
+    try:
+        counts = np.zeros(2, dtype=np.int64)
+        lib.hn_span_scan_counts(h, _ptr(counts[0:1]), _ptr(counts[1:2]))
+        n, n_sa = int(counts[0]), int(counts[1])
+        tid = np.empty(n, dtype=np.int32)
+        pos = np.empty(n, dtype=np.int64)
+        end = np.empty(n, dtype=np.int64)
+        sa_row = np.empty(n_sa, dtype=np.int64)
+        sa_start = np.empty(n_sa, dtype=np.int64)
+        sa_end = np.empty(n_sa, dtype=np.int64)
+        sa_mapq = np.empty(n_sa, dtype=np.int64)
+        lib.hn_span_scan_export(h, _ptr(tid), _ptr(pos), _ptr(end),
+                                _ptr(sa_row), _ptr(sa_start), _ptr(sa_end),
+                                _ptr(sa_mapq))
+        return tid, pos, end, sa_row, sa_start, sa_end, sa_mapq
+    finally:
+        lib.hn_span_scan_free(h)

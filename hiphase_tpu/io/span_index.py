@@ -166,6 +166,50 @@ class BamSpanIndex:
     def _scan(self) -> dict[str, ChromSpans] | None:
         if self.path.endswith(".cram"):
             return self._scan_cram()
+        fast = self._scan_streaming()
+        if fast is not None:
+            return fast
+        return self._scan_slabs()
+
+    def _scan_streaming(self) -> dict[str, ChromSpans] | None:
+        """One native call: threaded inflate + record walk + filter
+        (hn_span_scan_file). No whole-file decompressed buffer is ever
+        materialized — the setup cost that dominated fresh-process runs."""
+        reader = BamReader(self.path)
+        try:
+            names = reader.header.ref_names
+            name_bytes = [n.encode() for n in names]
+            name_off = np.zeros(len(names) + 1, dtype=np.int64)
+            for i, nb in enumerate(name_bytes):
+                name_off[i + 1] = name_off[i] + len(nb)
+            name_blob = np.frombuffer(b"".join(name_bytes) or b"\x00",
+                                      dtype=np.uint8)
+            body_voffset = reader._body_voffset
+        finally:
+            reader.close()
+        out = native.bam_span_scan_file(
+            self.path, body_voffset, name_blob, name_off, self.min_mapq,
+            _FILTER_MASK, threads=2)
+        if out is None:
+            return None
+        tid, pos, end, sa_row, sa_start, sa_end, sa_mapq = out
+        chroms: dict[str, ChromSpans] = {}
+        for t in np.unique(tid):
+            sel = tid == t
+            rows = np.flatnonzero(sel)
+            base = rows[0]
+            sa_sel = np.empty(0, dtype=bool)
+            if len(sa_row):
+                sa_sel = (sa_row >= rows[0]) & (sa_row <= rows[-1])
+            chroms[names[int(t)]] = ChromSpans(
+                pos[sel].astype(np.int64), end[sel].astype(np.int64),
+                (sa_row[sa_sel] - base) if len(sa_row) else sa_row,
+                sa_start[sa_sel] if len(sa_row) else sa_start[:0],
+                sa_end[sa_sel] if len(sa_row) else sa_end[:0],
+                sa_mapq[sa_sel] if len(sa_row) else sa_mapq[:0])
+        return chroms
+
+    def _scan_slabs(self) -> dict[str, ChromSpans] | None:
         reader = BamReader(self.path)
         try:
             names = reader.header.ref_names

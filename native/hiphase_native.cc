@@ -16,6 +16,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
 #include <thread>
 #include <unordered_map>
 #include <queue>
@@ -1826,6 +1827,193 @@ int32_t hn_beam_solve_batch(
     expansions[b] = out.expansions;
   });
   return failed.load() ? -1 : 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Streaming whole-file BAM span scan.
+//
+// One pass over a coordinate-sorted BAM: threaded BGZF inflate chunk by
+// chunk into a reused buffer, record walk inline (hn_bam_scan_records),
+// MAPQ/flag filter applied in-scan. Replaces the Python slab loop in
+// io/span_index.py, which materialized the whole decompressed file through
+// numpy (hundreds of MB of allocation churn per run — the dominant setup
+// cost at WGS scale). Ref: the htslib-backed per-locus fetches this index
+// replaces live in src/block_gen.rs:630-799.
+
+namespace span_scan {
+
+struct Result {
+  std::vector<int32_t> tid;
+  std::vector<int64_t> pos, end;
+  std::vector<int64_t> sa_row, sa_start, sa_end, sa_mapq;
+};
+
+}  // namespace span_scan
+
+extern "C" {
+
+// Scan `path` from BGZF virtual offset (coffset, skip_u); keep records with
+// (flag & filter_mask) == 0, mapq >= min_mapq, tid >= 0. SA entries are
+// remapped onto the filtered row numbering. Returns an opaque handle
+// (free with hn_span_scan_free) or NULL on I/O or parse failure.
+void* hn_span_scan_file(const char* path, int64_t coffset, int32_t skip_u,
+                        const uint8_t* name_blob, const int64_t* name_off,
+                        int32_t n_ref, int32_t min_mapq, int32_t filter_mask,
+                        int32_t threads) {
+  FILE* fh = std::fopen(path, "rb");
+  if (fh == nullptr) return nullptr;
+  if (std::fseek(fh, static_cast<long>(coffset), SEEK_SET) != 0) {
+    std::fclose(fh);
+    return nullptr;
+  }
+  auto res = new span_scan::Result();
+  constexpr int64_t kChunk = 4 << 20;  // compressed bytes per read (small: the temp buffers scale with it and first-touch page faults are real)
+  std::vector<uint8_t> comp(kChunk + (1 << 16));
+  int64_t comp_carry = 0;
+  std::vector<uint8_t> raw;       // carry + inflated chunk
+  int64_t raw_carry = 0;
+  std::vector<int64_t> boffs, ooffs;
+  // per-chunk scan outputs (pre-filter)
+  std::vector<int32_t> t_tid, t_pos, t_end, t_sastart, t_saend, t_samapq;
+  std::vector<uint8_t> t_mapq;
+  std::vector<uint16_t> t_flag;
+  std::vector<int64_t> t_recoff, t_recsize, t_sarec;
+  bool first = true;
+  bool ok = true;
+  for (;;) {
+    size_t got = std::fread(comp.data() + comp_carry, 1, kChunk, fh);
+    int64_t avail = comp_carry + static_cast<int64_t>(got);
+    if (avail == 0) break;
+    // trim to whole BGZF blocks
+    int64_t end = 0;
+    while (end + 18 <= avail) {
+      uint16_t bs16;
+      std::memcpy(&bs16, comp.data() + end + 16, 2);
+      int64_t bsize = static_cast<int64_t>(bs16) + 1;
+      if (end + bsize > avail) break;
+      end += bsize;
+    }
+    if (end == 0) {
+      if (got == 0) break;  // trailing garbage / EOF remnant
+      ok = avail < 18;      // an unsplittable fragment mid-file is an error
+      if (!ok) break;
+      break;
+    }
+    // block offsets + output offsets (ISIZE footers)
+    boffs.clear();
+    ooffs.clear();
+    int64_t raw_len = 0;
+    for (int64_t o = 0; o < end;) {
+      uint16_t bs16;
+      std::memcpy(&bs16, comp.data() + o + 16, 2);
+      int64_t bsize = static_cast<int64_t>(bs16) + 1;
+      uint32_t isize;
+      std::memcpy(&isize, comp.data() + o + bsize - 4, 4);
+      boffs.push_back(o);
+      ooffs.push_back(raw_len);
+      raw_len += isize;
+      o += bsize;
+    }
+    boffs.push_back(end);
+    ooffs.push_back(raw_len);
+    int n_blocks = static_cast<int>(boffs.size()) - 1;
+    raw.resize(raw_carry + raw_len);
+    if (hn_bgzf_decompress_many(comp.data(), boffs.data(), n_blocks,
+                                raw.data() + raw_carry, ooffs.data(),
+                                threads) != 0) {
+      ok = false;
+      break;
+    }
+    int64_t scan_from = 0;
+    if (first) {
+      scan_from = skip_u;  // virtual-offset remainder inside first block
+      first = false;
+    }
+    const uint8_t* buf = raw.data() + scan_from;
+    int64_t buf_len = raw_carry + raw_len - scan_from;
+    int64_t cap = buf_len / 36 + 2;
+    t_tid.resize(cap);
+    t_pos.resize(cap);
+    t_end.resize(cap);
+    t_mapq.resize(cap);
+    t_flag.resize(cap);
+    t_recoff.resize(cap);
+    t_recsize.resize(cap);
+    int64_t sa_cap = cap;
+    t_sarec.resize(sa_cap);
+    t_sastart.resize(sa_cap);
+    t_saend.resize(sa_cap);
+    t_samapq.resize(sa_cap);
+    int64_t sa_count = 0, consumed = 0;
+    int64_t n = hn_bam_scan_records(
+        buf, buf_len, name_blob, name_off, n_ref, t_tid.data(), t_pos.data(),
+        t_end.data(), t_mapq.data(), t_flag.data(), t_recoff.data(),
+        t_recsize.data(), cap, t_sarec.data(), t_sastart.data(),
+        t_saend.data(), t_samapq.data(), sa_cap, &sa_count, &consumed);
+    if (n < 0) {
+      ok = false;
+      break;
+    }
+    // filter + append (SA rows remap onto filtered numbering)
+    std::vector<int64_t> new_row(n, -1);
+    for (int64_t i = 0; i < n; ++i) {
+      if ((t_flag[i] & filter_mask) != 0) continue;
+      if (t_mapq[i] < min_mapq) continue;
+      if (t_tid[i] < 0) continue;
+      new_row[i] = static_cast<int64_t>(res->tid.size());
+      res->tid.push_back(t_tid[i]);
+      res->pos.push_back(t_pos[i]);
+      res->end.push_back(t_end[i]);
+    }
+    for (int64_t s = 0; s < sa_count; ++s) {
+      int64_t row = new_row[t_sarec[s]];
+      if (row < 0) continue;
+      res->sa_row.push_back(row);
+      res->sa_start.push_back(t_sastart[s]);
+      res->sa_end.push_back(t_saend[s]);
+      res->sa_mapq.push_back(t_samapq[s]);
+    }
+    // carries
+    int64_t rem_raw = buf_len - consumed;
+    std::memmove(raw.data(), buf + consumed, rem_raw);
+    raw_carry = rem_raw;
+    int64_t rem_comp = avail - end;
+    std::memmove(comp.data(), comp.data() + end, rem_comp);
+    comp_carry = rem_comp;
+    if (got == 0) break;
+  }
+  if (raw_carry != 0) ok = false;  // truncated record stream
+  std::fclose(fh);
+  if (!ok) {
+    delete res;
+    return nullptr;
+  }
+  return res;
+}
+
+void hn_span_scan_counts(void* h, int64_t* n_recs, int64_t* n_sa) {
+  auto* res = static_cast<span_scan::Result*>(h);
+  n_recs[0] = static_cast<int64_t>(res->tid.size());
+  n_sa[0] = static_cast<int64_t>(res->sa_row.size());
+}
+
+void hn_span_scan_export(void* h, int32_t* tid, int64_t* pos, int64_t* end,
+                         int64_t* sa_row, int64_t* sa_start, int64_t* sa_end,
+                         int64_t* sa_mapq) {
+  auto* res = static_cast<span_scan::Result*>(h);
+  std::memcpy(tid, res->tid.data(), res->tid.size() * 4);
+  std::memcpy(pos, res->pos.data(), res->pos.size() * 8);
+  std::memcpy(end, res->end.data(), res->end.size() * 8);
+  std::memcpy(sa_row, res->sa_row.data(), res->sa_row.size() * 8);
+  std::memcpy(sa_start, res->sa_start.data(), res->sa_start.size() * 8);
+  std::memcpy(sa_end, res->sa_end.data(), res->sa_end.size() * 8);
+  std::memcpy(sa_mapq, res->sa_mapq.data(), res->sa_mapq.size() * 8);
+}
+
+void hn_span_scan_free(void* h) {
+  delete static_cast<span_scan::Result*>(h);
 }
 
 }  // extern "C"
