@@ -547,3 +547,40 @@ def bam_span_scan_file(path: str, body_voffset: int, name_blob: np.ndarray,
         return tid, pos, end, sa_row, sa_start, sa_end, sa_mapq
     finally:
         lib.hn_span_scan_free(h)
+
+
+def vcf_transform_batch(text: np.ndarray, line_off, line_len, n_samples: int,
+                        mode, h1, h2, ps):
+    """Bulk strip+rewrite of VCF lines (hn_vcf_transform). Returns
+    (out_bytes, out_off [k+1], line_err u8 [k]) or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib.hn_vcf_transform, "_hn_ready"):
+        lib.hn_vcf_transform.restype = ctypes.c_int64
+        lib.hn_vcf_transform.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.hn_vcf_transform._hn_ready = True
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    line_off = np.ascontiguousarray(line_off, dtype=np.int64)
+    line_len = np.ascontiguousarray(line_len, dtype=np.int64)
+    mode = np.ascontiguousarray(mode, dtype=np.uint8)
+    h1 = np.ascontiguousarray(h1, dtype=np.uint8)
+    h2 = np.ascontiguousarray(h2, dtype=np.uint8)
+    ps = np.ascontiguousarray(ps, dtype=np.int64)
+    k = len(line_off)
+    cap = int(line_len.sum()) + k * (16 + 48 * max(n_samples, 1)) + 64
+    out = np.empty(cap, dtype=np.uint8)
+    out_off = np.empty(k + 1, dtype=np.int64)
+    line_err = np.empty(k, dtype=np.uint8)
+    total = lib.hn_vcf_transform(
+        _ptr(text), _ptr(line_off), _ptr(line_len), k, int(n_samples),
+        _ptr(mode), _ptr(h1), _ptr(h2), _ptr(ps), _ptr(out), cap,
+        _ptr(out_off), _ptr(line_err))
+    if total < 0:
+        return None
+    return out[:int(total)], out_off, line_err

@@ -326,6 +326,17 @@ class VcfWriter:
         self._entries.append(
             (rec.chrom, pos, pos + max(len(rec.ref), 1), ubeg, uend))
 
+    def write_raw_lines(self, data: bytes, out_off, poss, ends,
+                        chrom: str) -> None:
+        """Append pre-serialized newline-terminated records in one write;
+        out_off[i]..out_off[i+1] delimits record i for the index entries."""
+        base = self._bgzf.upos
+        self._bgzf.write(data)
+        entries = self._entries
+        for i in range(len(poss)):
+            entries.append((chrom, int(poss[i]), int(ends[i]),
+                            base + int(out_off[i]), base + int(out_off[i + 1])))
+
     def close(self) -> None:
         if self._closed:
             return

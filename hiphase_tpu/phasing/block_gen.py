@@ -361,9 +361,135 @@ class PhaseBlockIterator:
     def __iter__(self):
         return self
 
+    def _chrom_scans(self, chrom_name: str):
+        """Per-VCF native chrom scans + phasability masks for this sample,
+        or None to use the streaming-record fallback."""
+        cached = getattr(self, "_scan_state", None)
+        if cached is not None and cached[0] == chrom_name:
+            return cached[1]
+        from hiphase_tpu.io.vcf_scan import scan_chrom
+        out = []
+        for path, rd, sidx in zip(self.vcf_paths, self.vcf_readers,
+                                  self.sample_indices):
+            scan = scan_chrom(path, chrom_name, len(rd.samples))
+            if scan is None:
+                out = None
+                break
+            out.append((scan, scan.phasable_mask(sidx, self.min_quality,
+                                                 False)))
+        self._scan_state = (chrom_name, out)
+        return out
+
     def __next__(self) -> PhaseBlock:
         if self.chrom_index >= len(self.contigs):
             raise StopIteration
+        scans = self._chrom_scans(self.contigs[self.chrom_index])
+        if scans is not None:
+            return self._next_from_arrays(scans)
+        return self._next_from_records()
+
+    def _next_from_arrays(self, scans) -> PhaseBlock:
+        """Array-cursor version of the merge loop below — identical block
+        boundary decisions, driven by the native chrom scan instead of
+        per-record Python parsing (ref: block_gen.rs:823-974)."""
+        import numpy as np
+
+        chrom_name = self.contigs[self.chrom_index]
+        phase_block = PhaseBlock.new(
+            self.next_block_index, chrom_name, self.chrom_index,
+            self.min_quality, self.sample_name, len(self.vcf_readers))
+        self.next_block_index += 1
+
+        cursors = [int(np.searchsorted(scan.pos, self.chrom_position, "left"))
+                   for scan, _m in scans]
+        variant_queue: list[tuple[int, int]] = []
+        for vcf_index, ((scan, _m), cur) in enumerate(zip(scans, cursors)):
+            if cur < len(scan.pos):
+                heapq.heappush(variant_queue, (int(scan.pos[cur]), vcf_index))
+
+        if not variant_queue:
+            self.chrom_index += 1
+            return phase_block
+
+        vt_enum = [VariantType(v) for v in range(int(VariantType.UNKNOWN) + 1)]
+        zy_enum = [Zygosity(z) for z in range(int(Zygosity.UNKNOWN) + 1)]
+        previous_pos = 0
+        max_span = 0
+        next_valid_read_pos = 0
+
+        while variant_queue:
+            pop_pos, pop_index = heapq.heappop(variant_queue)
+            scan, mask = scans[pop_index]
+            sample_index = self.sample_indices[pop_index]
+            i = cursors[pop_index]
+            cursors[pop_index] += 1
+            variant_pos = pop_pos
+
+            vt_code = int(scan.vtype[i])
+            zy_code = int(scan.zyg[i, sample_index])
+            if vt_code == -1 or zy_code == -1:
+                # records the native parser could not classify re-parse in
+                # Python so errors surface exactly like the record path
+                record = scan.record(i)
+                phasable = is_phasable_variant(record, sample_index,
+                                               self.min_quality, False)
+                vt_code = int(get_variant_type(record))
+                zy_code = int(get_variant_zygosity(record, sample_index))
+            else:
+                phasable = bool(mask[i])
+
+            if phasable:
+                if phase_block.num_variants == 0:
+                    phase_block.add_locus_variant(chrom_name, variant_pos,
+                                                  pop_index)
+                    max_span = self.get_longest_multispan(chrom_name,
+                                                          variant_pos)
+                    if max_span == variant_pos:
+                        phase_block.unphased_block = True
+                        next_valid_read_pos = self.get_next_mapped(
+                            chrom_name, variant_pos)
+                        max_span += 1
+                elif max_span > variant_pos:
+                    phase_block.add_locus_variant(chrom_name, variant_pos,
+                                                  pop_index)
+                elif phase_block.unphased_block:
+                    if variant_pos < next_valid_read_pos:
+                        phase_block.add_locus_variant(chrom_name, variant_pos,
+                                                      pop_index)
+                    else:
+                        self.chrom_position = variant_pos
+                        return phase_block
+                else:
+                    max_span = self.get_longest_multispan(chrom_name,
+                                                          previous_pos)
+                    assert max_span != previous_pos
+                    if max_span > variant_pos:
+                        phase_block.add_locus_variant(chrom_name, variant_pos,
+                                                      pop_index)
+                    elif not self.allow_supplemental_joins:
+                        self.chrom_position = variant_pos
+                        return phase_block
+                    elif self.is_supplemental_overlap(chrom_name, variant_pos,
+                                                      phase_block):
+                        phase_block.add_locus_variant(chrom_name, variant_pos,
+                                                      pop_index)
+                    else:
+                        self.chrom_position = variant_pos
+                        return phase_block
+                previous_pos = variant_pos
+
+            key = (chrom_name, vt_enum[vt_code], zy_enum[zy_code])
+            self.variant_stats[key] = self.variant_stats.get(key, 0) + 1
+
+            cur = cursors[pop_index]
+            if cur < len(scan.pos):
+                heapq.heappush(variant_queue, (int(scan.pos[cur]), pop_index))
+
+        self.chrom_index += 1
+        self.chrom_position = 0
+        return phase_block
+
+    def _next_from_records(self) -> PhaseBlock:
         chrom_name = self.contigs[self.chrom_index]
         phase_block = PhaseBlock.new(
             self.next_block_index, chrom_name, self.chrom_index,

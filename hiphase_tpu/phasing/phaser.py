@@ -38,27 +38,101 @@ class PhaserError(Exception):
     pass
 
 
-def load_variant_calls(region: PhaseBlock, vcf_paths: list[str],
-                       reference_genome: ReferenceGenome,
-                       reference_buffer: int, is_hom_allowed: bool
-                       ) -> tuple[list[Variant], list[Variant]]:
-    """Load and normalize the block's variants (ref: phaser.rs:27-323).
+def _iter_block_variants(region: PhaseBlock, vcf_paths: list[str],
+                         is_hom_allowed: bool):
+    """Yield (vcf_index, pos, VariantType, gt_index0, gt_index1, alleles)
+    for the block's phasable records, merged by (pos, vcf_index) — from the
+    native chrom-scan arrays when available, else the streaming-record path
+    (identical semantics; ref: phaser.rs:105-175)."""
+    from hiphase_tpu.io.vcf_scan import scan_chrom
 
-    Returns (het variants, hom variants); homs are only collected when
-    ``is_hom_allowed`` (global realignment on).
-    """
-    if region.num_variants == 0:
-        return [], []
-
-    readers = [VcfReader(p) for p in vcf_paths]
+    scans = []
     sample_indices = []
-    for p, rd in zip(vcf_paths, readers):
+    for p in vcf_paths:
+        from hiphase_tpu.io.vcf import VcfReader
+        samples = _vcf_samples(p)
         try:
-            sample_indices.append(rd.samples.index(region.sample_name))
+            sample_indices.append(samples.index(region.sample_name))
         except ValueError:
             raise PhaserError(
                 f"Sample name {region.sample_name!r} was not found in VCF: {p}")
+        scan = scan_chrom(p, region.chrom, len(samples))
+        scans.append(scan)
 
+    if all(s is not None for s in scans):
+        yield from _iter_block_variants_arrays(region, scans, sample_indices,
+                                               is_hom_allowed)
+        return
+    yield from _iter_block_variants_records(region, vcf_paths, sample_indices,
+                                            is_hom_allowed)
+
+
+_VCF_SAMPLES_CACHE: dict[tuple[str, float], list[str]] = {}
+
+
+def _vcf_samples(path: str) -> list[str]:
+    import os
+
+    from hiphase_tpu.io.vcf import VcfReader
+    key = (os.path.abspath(path), os.path.getmtime(path))
+    hit = _VCF_SAMPLES_CACHE.get(key)
+    if hit is None:
+        if len(_VCF_SAMPLES_CACHE) > 64:
+            _VCF_SAMPLES_CACHE.clear()
+        hit = _VCF_SAMPLES_CACHE[key] = list(VcfReader(path).samples)
+    return hit
+
+
+def _iter_block_variants_arrays(region, scans, sample_indices,
+                                is_hom_allowed: bool):
+    import numpy as np
+
+    cursors = []
+    queue: list[tuple[int, int]] = []
+    masks = []
+    for vcf_index, (scan, sidx) in enumerate(zip(scans, sample_indices)):
+        lo = int(np.searchsorted(scan.pos, region.start, "left"))
+        hi = int(np.searchsorted(scan.pos, region.end, "right"))
+        cursors.append([lo, hi])
+        masks.append(scan.phasable_mask(sidx, region.min_quality,
+                                        is_hom_allowed))
+        if lo < hi:
+            heapq.heappush(queue, (int(scan.pos[lo]), vcf_index))
+
+    while queue:
+        _pos, pop_index = heapq.heappop(queue)
+        scan = scans[pop_index]
+        sidx = sample_indices[pop_index]
+        cur = cursors[pop_index]
+        i = cur[0]
+        cur[0] += 1
+        if cur[0] < cur[1]:
+            heapq.heappush(queue, (int(scan.pos[cur[0]]), pop_index))
+
+        if scan.needs_python(i, sidx) or scan.ploidy[i, sidx] > 2:
+            # identical errors/assertions via the record path
+            record = scan.record(i)
+            if not is_phasable_variant(record, sidx, region.min_quality,
+                                       is_hom_allowed):
+                continue
+            gt, _ph = record.genotype(sidx)
+            assert len(gt) <= 2
+            ia0 = gt[0]
+            ia1 = gt[1] if len(gt) > 1 else gt[0]
+            assert ia0 is not None and ia1 is not None
+            yield (pop_index, record.pos0, get_variant_type(record), ia0,
+                   ia1, record.alleles())
+            continue
+        if not masks[pop_index][i]:
+            continue
+        yield (pop_index, int(scan.pos[i]), VariantType(int(scan.vtype[i])),
+               int(scan.gt0[i, sidx]), int(scan.gt1[i, sidx]),
+               scan.alleles(i))
+
+
+def _iter_block_variants_records(region, vcf_paths, sample_indices,
+                                 is_hom_allowed: bool):
+    readers = [VcfReader(p) for p in vcf_paths]
     streams = []
     queue: list[tuple[int, int]] = []
     for vcf_index, rd in enumerate(readers):
@@ -67,10 +141,6 @@ def load_variant_calls(region: PhaseBlock, vcf_paths: list[str],
         streams.append([head, gen])
         if head is not None:
             heapq.heappush(queue, (head.pos0, vcf_index))
-
-    variants: list[Variant] = []
-    hom_variants: list[Variant] = []
-    previous_het_end = 0
 
     while queue:
         _pos, pop_index = heapq.heappop(queue)
@@ -87,13 +157,34 @@ def load_variant_calls(region: PhaseBlock, vcf_paths: list[str],
         if not is_phasable_variant(record, sample_index, region.min_quality,
                                    is_hom_allowed):
             continue
-
-        variant_type = get_variant_type(record)
         gt, _phased = record.genotype(sample_index)
         assert len(gt) <= 2
         index_allele0 = gt[0]
         index_allele1 = gt[1] if len(gt) > 1 else gt[0]
         assert index_allele0 is not None and index_allele1 is not None
+        yield (pop_index, position, get_variant_type(record), index_allele0,
+               index_allele1, record.alleles())
+
+
+def load_variant_calls(region: PhaseBlock, vcf_paths: list[str],
+                       reference_genome: ReferenceGenome,
+                       reference_buffer: int, is_hom_allowed: bool
+                       ) -> tuple[list[Variant], list[Variant]]:
+    """Load and normalize the block's variants (ref: phaser.rs:27-323).
+
+    Returns (het variants, hom variants); homs are only collected when
+    ``is_hom_allowed`` (global realignment on).
+    """
+    if region.num_variants == 0:
+        return [], []
+
+    variants: list[Variant] = []
+    hom_variants: list[Variant] = []
+    previous_het_end = 0
+
+    for (pop_index, position, variant_type, index_allele0, index_allele1,
+         all_alleles) in _iter_block_variants(region, vcf_paths,
+                                              is_hom_allowed):
         if index_allele0 > index_allele1:
             index_allele0, index_allele1 = index_allele1, index_allele0
 
@@ -103,7 +194,6 @@ def load_variant_calls(region: PhaseBlock, vcf_paths: list[str],
         if is_homozygous:
             index_allele0 = 0
 
-        all_alleles = record.alleles()
         ref_len = len(all_alleles[0])
         allele0 = all_alleles[index_allele0]
         allele1 = all_alleles[index_allele1]

@@ -234,6 +234,9 @@ class OrderedVcfWriter:
         start_pos = self.current_pos
         fetch_end = final_position + 1 if final_position < U64_MAX else U64_MAX
         for vcf_index, writer in enumerate(self.writers):
+            if self._write_window_arrays(vcf_index, writer, start_pos,
+                                         final_position):
+                continue
             reader = self.readers[vcf_index]
             for record in reader.fetch(self.current_chrom, start_pos, fetch_end):
                 record_pos = record.pos0
@@ -267,6 +270,94 @@ class OrderedVcfWriter:
                 writer.write(record)
         self.current_pos = (final_position if final_position == U64_MAX
                             else final_position + 1)
+
+    def _write_window_arrays(self, vcf_index: int, writer, start_pos: int,
+                             final_position: int) -> bool:
+        """Array path for one (vcf, window): decisions from the native chrom
+        scan, bulk strip+rewrite via hn_vcf_transform, raw batched write.
+        Returns False (before any state mutation) to use the record path."""
+        import numpy as np
+
+        from hiphase_tpu.io import native
+        from hiphase_tpu.io.vcf_scan import scan_chrom
+
+        if not self.current_chrom or not native.available():
+            return False
+        reader = self.readers[vcf_index]
+        S = len(reader.samples)
+        scan = scan_chrom(self.input_vcfs[vcf_index], self.current_chrom, S)
+        if scan is None:
+            return False
+        lo = int(np.searchsorted(scan.pos, start_pos, "left"))
+        hi = len(scan.pos) if final_position >= U64_MAX else \
+            int(np.searchsorted(scan.pos, final_position, "right"))
+        if hi <= lo:
+            return True
+        sample_items = list(self.sample_indices[vcf_index].items())
+        masks = {}
+        for sample_name, sidx in sample_items:
+            # any row the native parser couldn't classify for a tracked
+            # sample -> record path (identical errors)
+            if np.any(scan.vtype[lo:hi] == -1) or \
+                    np.any(scan.zyg[lo:hi, sidx] == -1):
+                return False
+            masks[sample_name] = scan.phasable_mask(sidx, self.min_quality,
+                                                    False)
+        k = hi - lo
+        mode = np.zeros((k, S), dtype=np.uint8)
+        h1a = np.zeros((k, S), dtype=np.uint8)
+        h2a = np.zeros((k, S), dtype=np.uint8)
+        psa = np.zeros((k, S), dtype=np.int64)
+        for r in range(lo, hi):
+            for sample_name, sidx in sample_items:
+                if not masks[sample_name][r]:
+                    continue
+                queue = self.phase_queues[vcf_index][sample_name]
+                if not queue:
+                    raise VcfWriteError(
+                        "Variant requested from empty queue during VCF "
+                        "writing")
+                h1, h2, block_id = queue.popleft()
+                if h1 == h2:
+                    if h1 == UNDETERMINED_ALLELE:
+                        mode[r - lo, sidx] = 2
+                else:
+                    mode[r - lo, sidx] = 1
+                    h1a[r - lo, sidx] = h1
+                    h2a[r - lo, sidx] = h2
+                    psa[r - lo, sidx] = block_id
+        out = native.vcf_transform_batch(
+            scan.text, scan.line_off[lo:hi], scan.line_len[lo:hi], S,
+            mode, h1a, h2a, psa)
+        if out is None or bool(out[2].any()):
+            # native transform declined a line (odd sample column, ploidy
+            # error, ...): redo the whole window per-record in Python using
+            # the SAME decisions (queues already popped)
+            self._write_window_python(vcf_index, writer, lo, hi, scan,
+                                      mode, h1a, h2a, psa)
+            return True
+        data, out_off, _err = out
+        poss = scan.pos[lo:hi]
+        ends = poss + np.maximum(scan.ref_len[lo:hi], 1)
+        writer.write_raw_lines(data.tobytes(), out_off, poss, ends,
+                               self.current_chrom)
+        return True
+
+    def _write_window_python(self, vcf_index, writer, lo, hi, scan,
+                             mode, h1a, h2a, psa) -> None:
+        for r in range(lo, hi):
+            record = scan.record(r)
+            phased = {}
+            flagged = {}
+            for s in range(mode.shape[1]):
+                m = mode[r - lo, s]
+                if m == 1:
+                    phased[s] = (int(h1a[r - lo, s]), int(h2a[r - lo, s]),
+                                 int(psa[r - lo, s]))
+                elif m == 2:
+                    flagged[s] = b"TR_OVERLAP"
+            transform_record(record, phased, flagged)
+            writer.write(record)
 
     def close(self) -> None:
         for w in self.writers:

@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <cstdlib>
 #include <thread>
 #include <unordered_map>
 #include <queue>
@@ -2014,6 +2015,591 @@ void hn_span_scan_export(void* h, int32_t* tid, int64_t* pos, int64_t* end,
 
 void hn_span_scan_free(void* h) {
   delete static_cast<span_scan::Result*>(h);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// One-pass VCF body scan.
+//
+// Parses decompressed VCF text once per chromosome into dense arrays so the
+// three consumers that previously re-parsed records in Python — the block
+// generator's merge stream (ref: src/block_gen.rs:823-974), the per-block
+// variant loader (ref: src/phaser.rs:27-323), and the ordered writer's
+// copy-transform (ref: src/writers/ordered_vcf_writer.rs:291-434) — all run
+// from shared arrays. Classification mirrors block_gen.rs:115-312 /
+// hiphase_tpu/phasing/block_gen.py exactly; records the Python layer would
+// reject get vtype/zyg = -1 and are re-parsed in Python so error messages
+// (and parity) are preserved.
+
+namespace vcf_scan {
+
+// VariantType codes (hiphase_tpu/core/variants.py)
+enum : int8_t {
+  kSnv = 0, kIns = 1, kDel = 2, kIndel = 3, kSvIns = 4, kSvDel = 5,
+  kSvDup = 6, kSvInv = 7, kSvBnd = 8, kTr = 9, kUnknown = 10, kErr = -1
+};
+
+inline bool token_key(const uint8_t* p, const uint8_t* end, const char* key,
+                      int64_t klen, const uint8_t** val, const uint8_t** vend) {
+  // INFO token match: KEY=... or bare KEY flag
+  if (end - p < klen) return false;
+  if (std::memcmp(p, key, klen) != 0) return false;
+  if (p + klen == end) {
+    *val = end;
+    *vend = end;
+    return true;  // flag
+  }
+  if (p[klen] == '=') {
+    *val = p + klen + 1;
+    *vend = end;
+    return true;
+  }
+  return false;
+}
+
+}  // namespace vcf_scan
+
+extern "C" {
+
+// Scan `text` (decompressed VCF body, may start/end mid-chromosome) for
+// data lines whose CHROM equals `chrom`. Outputs are caller-allocated with
+// capacity `cap` (= number of '\n' + 1 is always enough). Per line:
+//   line_off/line_len: byte span of the line (without trailing newline/CR)
+//   pos: 0-based POS; ref_len: REF length
+//   vtype: VariantType code, or -1 when Python must re-parse (errors)
+// Per (line, sample) with stride n_samples:
+//   zyg: 0 homref / 1 het / 2 homalt / 3 unknown / -1 GT error-or-absent
+//   gt0/gt1: first two GT allele indices (-1 = '.'); gt_phased; ploidy
+//   gq / has_gq: GQ value when present
+// Returns the number of matching lines, or -1 if outputs would overflow.
+int64_t hn_vcf_scan(
+    const uint8_t* text, int64_t len, const uint8_t* chrom, int64_t chrom_len,
+    int32_t n_samples, int64_t* line_off, int64_t* line_len, int64_t* pos,
+    int32_t* ref_len, int64_t* ref_off, int64_t* alt_off, int32_t* alt_len,
+    int8_t* vtype, int8_t* zyg, int16_t* gt0, int16_t* gt1,
+    uint8_t* gt_phased, uint8_t* ploidy, float* gq, uint8_t* has_gq,
+    int64_t cap) {
+  using namespace vcf_scan;
+  int64_t n = 0;
+  int64_t o = 0;
+  while (o < len) {
+    int64_t eol = o;
+    while (eol < len && text[eol] != '\n') ++eol;
+    int64_t llen = eol - o;
+    if (llen > 0 && text[o + llen - 1] == '\r') --llen;
+    const uint8_t* line = text + o;
+    int64_t next = eol + 1;
+    if (llen == 0 || line[0] == '#') {
+      o = next;
+      continue;
+    }
+    // tokenize tabs (fields 0..8 + samples)
+    // field 0: CHROM
+    int64_t t0 = 0;
+    while (t0 < llen && line[t0] != '\t') ++t0;
+    if (!(t0 == chrom_len &&
+          std::memcmp(line, chrom, chrom_len) == 0)) {
+      o = next;
+      continue;
+    }
+    if (n >= cap) return -1;
+    line_off[n] = o;
+    line_len[n] = llen;
+
+    // walk remaining fields
+    const uint8_t* f[10];   // start of fields 0..9 (9 = first sample)
+    int64_t flen[10];
+    f[0] = line;
+    flen[0] = t0;
+    int nf = 1;
+    int64_t i = t0;
+    while (i < llen && nf < 10) {
+      ++i;  // skip tab
+      int64_t s = i;
+      while (i < llen && line[i] != '\t') ++i;
+      f[nf] = line + s;
+      flen[nf] = i - s;
+      ++nf;
+    }
+    // defaults
+    pos[n] = -1;
+    ref_len[n] = 0;
+    ref_off[n] = o;
+    alt_off[n] = o;
+    alt_len[n] = 0;
+    vtype[n] = kErr;
+    for (int32_t s = 0; s < n_samples; ++s) {
+      int64_t idx = n * n_samples + s;
+      zyg[idx] = -1;
+      gt0[idx] = -1;
+      gt1[idx] = -1;
+      gt_phased[idx] = 0;
+      ploidy[idx] = 0;
+      gq[idx] = 0;
+      has_gq[idx] = 0;
+    }
+    if (nf < 8) {
+      o = next;
+      ++n;
+      continue;  // malformed: Python re-parse
+    }
+    // POS (1-based int)
+    int64_t p = 0;
+    bool pos_ok = flen[1] > 0;
+    for (int64_t k = 0; k < flen[1]; ++k) {
+      uint8_t c = f[1][k];
+      if (c < '0' || c > '9') {
+        pos_ok = false;
+        break;
+      }
+      p = p * 10 + (c - '0');
+    }
+    if (!pos_ok) {
+      o = next;
+      ++n;
+      continue;
+    }
+    pos[n] = p - 1;
+    ref_len[n] = static_cast<int32_t>(flen[3]);
+    ref_off[n] = o + (f[3] - line);
+    alt_off[n] = o + (f[4] - line);
+    alt_len[n] = static_cast<int32_t>(flen[4]);
+
+    // ALT lengths
+    const uint8_t* alt = f[4];
+    int64_t alen = flen[4];
+    bool alt_missing = (alen == 1 && alt[0] == '.');
+    int alt_count = 0;
+    int64_t max_alt = 0, first_alt_len = 0;
+    bool first_sym = false;
+    if (!alt_missing && alen > 0) {
+      int64_t s = 0;
+      for (int64_t k = 0; k <= alen; ++k) {
+        if (k == alen || alt[k] == ',') {
+          int64_t this_len = k - s;
+          if (alt_count == 0) {
+            first_alt_len = this_len;
+            first_sym = this_len >= 2 && alt[s] == '<' && alt[k - 1] == '>';
+          }
+          if (this_len > max_alt) max_alt = this_len;
+          ++alt_count;
+          s = k + 1;
+        }
+      }
+    }
+
+    // INFO: SVTYPE / TRID
+    int8_t sv = -2;  // -2 = absent, -1 = unhandled value
+    bool has_trid = false;
+    if (flen[7] != 1 || f[7][0] != '.') {
+      const uint8_t* q = f[7];
+      const uint8_t* qend = q + flen[7];
+      while (q < qend) {
+        const uint8_t* tend = q;
+        while (tend < qend && *tend != ';') ++tend;
+        const uint8_t *val, *vend;
+        if (token_key(q, tend, "SVTYPE", 6, &val, &vend)) {
+          int64_t vl = vend - val;
+          if (vl == 3 && std::memcmp(val, "DEL", 3) == 0) sv = kSvDel;
+          else if (vl == 3 && std::memcmp(val, "INS", 3) == 0) sv = kSvIns;
+          else if (vl == 3 && std::memcmp(val, "DUP", 3) == 0) sv = kSvDup;
+          else if (vl == 3 && std::memcmp(val, "INV", 3) == 0) sv = kSvInv;
+          else if (vl == 3 && std::memcmp(val, "BND", 3) == 0) sv = kSvBnd;
+          else sv = -1;
+        } else if (token_key(q, tend, "TRID", 4, &val, &vend)) {
+          has_trid = true;
+        }
+        q = tend + 1;
+      }
+    }
+
+    // classification (block_gen.rs:222-312)
+    if (sv != -2) {
+      if (alt_count != 1) vtype[n] = kErr;          // needs exactly one ALT
+      else if (first_sym) vtype[n] = kUnknown;      // <DEL> placeholder
+      else if (sv == -1) vtype[n] = kErr;           // unhandled SVTYPE value
+      else vtype[n] = sv;
+    } else if (has_trid) {
+      vtype[n] = kTr;
+    } else if (alt_missing || alt_count == 0) {
+      vtype[n] = kUnknown;
+    } else if (flen[3] == 1) {
+      vtype[n] = (max_alt == 1) ? kSnv : kIns;
+    } else {
+      vtype[n] = (max_alt == 1) ? kDel : kIndel;
+    }
+    (void)first_alt_len;
+
+    // FORMAT: GT / GQ positions
+    if (nf >= 10 && n_samples > 0) {
+      int gt_idx = -1, gq_idx = -1, fidx = 0;
+      {
+        const uint8_t* q = f[8];
+        const uint8_t* qend = q + flen[8];
+        while (q < qend) {
+          const uint8_t* tend = q;
+          while (tend < qend && *tend != ':') ++tend;
+          int64_t tl = tend - q;
+          if (tl == 2 && q[0] == 'G' && q[1] == 'T') gt_idx = fidx;
+          if (tl == 2 && q[0] == 'G' && q[1] == 'Q') gq_idx = fidx;
+          ++fidx;
+          q = tend + 1;
+        }
+      }
+      // sample columns: fields 9.. (f[] only holds up to index 9; walk on)
+      const uint8_t* scol = f[9];
+      int64_t scol_len = flen[9];
+      int64_t walk = (f[9] - line) + flen[9];
+      for (int32_t s = 0; s < n_samples; ++s) {
+        if (s > 0) {
+          if (walk >= llen) break;  // fewer columns than samples
+          ++walk;                   // tab
+          int64_t st = walk;
+          while (walk < llen && line[walk] != '\t') ++walk;
+          scol = line + st;
+          scol_len = walk - st;
+        }
+        int64_t idx = n * n_samples + s;
+        // split sample column by ':'
+        int fi = 0;
+        const uint8_t* q = scol;
+        const uint8_t* qend = scol + scol_len;
+        while (q <= qend) {
+          const uint8_t* tend = q;
+          while (tend < qend && *tend != ':') ++tend;
+          int64_t tl = tend - q;
+          if (fi == gt_idx && gt_idx >= 0) {
+            // parse GT: a[/|b]...; '.'/'' -> -1; non-numeric -> error
+            int16_t a[2] = {-1, -1};
+            int pl = 0;
+            bool phased = false, err = (tl == 0);
+            const uint8_t* g = q;
+            while (g <= tend && !err) {
+              const uint8_t* ge = g;
+              while (ge < tend && *ge != '/' && *ge != '|') ++ge;
+              if (ge < tend && *ge == '|') phased = true;
+              int64_t gl = ge - g;
+              int16_t v = -1;
+              if (gl == 0 || (gl == 1 && *g == '.')) {
+                v = -1;
+              } else {
+                int64_t acc = 0;
+                for (const uint8_t* c = g; c < ge; ++c) {
+                  if (*c < '0' || *c > '9') {
+                    err = true;
+                    break;
+                  }
+                  acc = acc * 10 + (*c - '0');
+                }
+                v = static_cast<int16_t>(acc);
+              }
+              if (pl < 2) a[pl] = v;
+              ++pl;
+              if (ge >= tend) break;
+              g = ge + 1;
+            }
+            if (!err && pl > 0) {
+              gt0[idx] = a[0];
+              gt1[idx] = (pl > 1) ? a[1] : a[0];
+              ploidy[idx] = static_cast<uint8_t>(pl > 3 ? 3 : pl);  // >2 detectable
+              gt_phased[idx] = phased ? 1 : 0;
+              if (a[0] == -1 || (pl > 1 && a[1] == -1)) zyg[idx] = 3;
+              else if (gt0[idx] == gt1[idx])
+                zyg[idx] = (gt0[idx] == 0) ? 0 : 2;
+              else zyg[idx] = 1;
+            }
+          } else if (fi == gq_idx && gq_idx >= 0) {
+            if (!(tl == 0 || (tl == 1 && *q == '.'))) {
+              // float parse (GQ may be fractional); a malformed value must
+              // surface the Python parser's exception -> re-parse marker
+              char buf[32];
+              bool ok = false;
+              if (tl < 31) {
+                std::memcpy(buf, q, tl);
+                buf[tl] = 0;
+                char* endp = nullptr;
+                double v = std::strtod(buf, &endp);
+                if (endp == buf + tl) {
+                  gq[idx] = static_cast<float>(v);
+                  has_gq[idx] = 1;
+                  ok = true;
+                }
+              }
+              if (!ok) zyg[idx] = -1;
+            }
+          }
+          ++fi;
+          if (tend >= qend) break;
+          q = tend + 1;
+        }
+      }
+    }
+    ++n;
+    o = next;
+  }
+  return n;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Bulk VCF record copy-transform for the ordered writer.
+//
+// For each selected line: drop PS/PF from FORMAT and every sample column,
+// rewrite GT per the solver's decision (phased h1|h2, or unphase+sort with
+// missing first), and append PS/PF values when any sample in the row gets
+// them. Mirrors writers/vcf_writer.py transform_record / the reference's
+// strip+rewrite (ref: src/writers/ordered_vcf_writer.rs:291-434). Lines the
+// parser cannot handle are flagged for Python re-parse so error behavior is
+// identical.
+
+extern "C" {
+
+// modes per (line, sample): 0 = strip/unphase only, 1 = phased (h1|h2 + PS),
+// 2 = PF=TR_OVERLAP flag.
+// Outputs: `out` (capacity out_cap) receives the transformed lines, each
+// newline-terminated; out_off[k] = start of line k in `out`,
+// out_off[n_lines] = total. line_err[k] = 1 when Python must re-do line k
+// (its bytes are then NOT in `out`; out_off still advances by 0).
+// Returns total bytes written, or -1 when out_cap is insufficient.
+int64_t hn_vcf_transform(
+    const uint8_t* text, const int64_t* line_off, const int64_t* line_len,
+    int64_t n_lines, int32_t n_samples, const uint8_t* mode,
+    const uint8_t* h1, const uint8_t* h2, const int64_t* ps,
+    uint8_t* out, int64_t out_cap, int64_t* out_off, uint8_t* line_err) {
+  int64_t w = 0;
+  for (int64_t k = 0; k < n_lines; ++k) {
+    out_off[k] = w;
+    line_err[k] = 0;
+    const uint8_t* line = text + line_off[k];
+    int64_t llen = line_len[k];
+    // locate the 9 fixed fields; fx[i] = start offset of field i
+    int64_t fx[10];
+    int nf = 0;
+    fx[nf++] = 0;
+    for (int64_t i = 0; i < llen && nf < 10; ++i) {
+      if (line[i] == '\t') fx[nf++] = i + 1;
+    }
+    if (nf < 10) {  // fewer than 9 tabs: no FORMAT/sample columns
+      line_err[k] = 1;
+      continue;
+    }
+    int64_t fmt_beg = fx[8];
+    int64_t fmt_end = fx[9] - 1;
+    // FORMAT keys: find GT; note PS/PF positions to drop
+    int gt_idx = -1;
+    int drop_idx[8];
+    int n_drop = 0;
+    int fidx = 0;
+    bool bad = false;
+    {
+      int64_t q = fmt_beg;
+      while (q <= fmt_end) {
+        int64_t e = q;
+        while (e < fmt_end && line[e] != ':') ++e;
+        int64_t tl = e - q;
+        if (tl == 2 && line[q] == 'G' && line[q + 1] == 'T') gt_idx = fidx;
+        if (tl == 2 && line[q] == 'P' &&
+            (line[q + 1] == 'S' || line[q + 1] == 'F')) {
+          if (n_drop < 8) drop_idx[n_drop++] = fidx;
+          else bad = true;
+        }
+        ++fidx;
+        if (e >= fmt_end) break;
+        q = e + 1;
+      }
+    }
+    int n_keys = fidx;
+    if (gt_idx < 0 || bad) {
+      line_err[k] = 1;
+      continue;
+    }
+    // row-level: does any sample get PS / PF?
+    bool add_ps = false, add_pf = false;
+    for (int32_t s = 0; s < n_samples; ++s) {
+      uint8_t m = mode[k * n_samples + s];
+      if (m == 1) add_ps = true;
+      if (m == 2) add_pf = true;
+    }
+    int gt_out_idx = gt_idx;
+    for (int d = 0; d < n_drop; ++d)
+      if (drop_idx[d] < gt_idx) --gt_out_idx;
+    int n_base = n_keys - n_drop;
+
+    // capacity bound for this line
+    if (w + llen + 8 + static_cast<int64_t>(n_samples) * 48 > out_cap)
+      return -1;
+
+    // copy fields 0..7 verbatim (through the tab before FORMAT)
+    int64_t pre = fmt_beg;
+    std::memcpy(out + w, line, pre);
+    w += pre;
+    // FORMAT: keys minus PS/PF, plus appended PS/PF
+    {
+      int64_t q = fmt_beg;
+      int idx = 0, emitted = 0;
+      while (q <= fmt_end) {
+        int64_t e = q;
+        while (e < fmt_end && line[e] != ':') ++e;
+        bool dropped = false;
+        for (int d = 0; d < n_drop; ++d)
+          if (drop_idx[d] == idx) dropped = true;
+        if (!dropped) {
+          if (emitted) out[w++] = ':';
+          std::memcpy(out + w, line + q, e - q);
+          w += e - q;
+          ++emitted;
+        }
+        ++idx;
+        if (e >= fmt_end) break;
+        q = e + 1;
+      }
+      if (emitted == 0) out[w++] = '.';
+      if (add_ps) {
+        out[w++] = ':';
+        out[w++] = 'P';
+        out[w++] = 'S';
+      }
+      if (add_pf) {
+        out[w++] = ':';
+        out[w++] = 'P';
+        out[w++] = 'F';
+      }
+    }
+    // sample columns
+    int64_t col_beg = fx[9];
+    for (int32_t s = 0; s < n_samples; ++s) {
+      int64_t col_end = col_beg;
+      while (col_end < llen && line[col_end] != '\t') ++col_end;
+      out[w++] = '\t';
+      uint8_t m = mode[k * n_samples + s];
+      // split by ':', drop PS/PF positions, rewrite GT
+      int64_t q = col_beg;
+      int idx = 0, emitted = 0;
+      int n_vals = 0;
+      {  // count values for the gt_idx < len(vals) check + padding
+        int64_t t = col_beg;
+        n_vals = 1;
+        while (t < col_end) {
+          if (line[t] == ':') ++n_vals;
+          ++t;
+        }
+      }
+      while (q <= col_end) {
+        int64_t e = q;
+        while (e < col_end && line[e] != ':') ++e;
+        bool dropped = false;
+        for (int d = 0; d < n_drop; ++d)
+          if (drop_idx[d] == idx) dropped = true;
+        if (!dropped) {
+          if (emitted) out[w++] = ':';
+          int out_idx = emitted;
+          if (out_idx == gt_out_idx && idx == gt_idx) {
+            int64_t tl = e - q;
+            if (tl == 0) {
+              line_err[k] = 1;  // empty GT -> Python raises
+              break;
+            }
+            if (m == 1) {
+              int64_t ps_v = ps[k * n_samples + s];
+              w += std::snprintf(reinterpret_cast<char*>(out + w), 32,
+                                 "%d|%d",
+                                 static_cast<int>(h1[k * n_samples + s]),
+                                 static_cast<int>(h2[k * n_samples + s]));
+              (void)ps_v;
+            } else {
+              // unphase + sort (missing '.' first)
+              int64_t sep = q;
+              while (sep < e && line[sep] != '/' && line[sep] != '|') ++sep;
+              if (sep >= e) {
+                // haploid: copy as-is
+                std::memcpy(out + w, line + q, tl);
+                w += tl;
+              } else {
+                int64_t a0 = q, a0e = sep, a1 = sep + 1, a1e = a1;
+                while (a1e < e && line[a1e] != '/' && line[a1e] != '|') ++a1e;
+                if (a1e != e) {
+                  line_err[k] = 1;  // ploidy > 2 -> Python raises
+                  break;
+                }
+                auto parse = [&](int64_t b, int64_t ee, long* v) -> bool {
+                  if (b == ee || (ee - b == 1 && line[b] == '.')) {
+                    *v = -1;
+                    return true;
+                  }
+                  long acc = 0;
+                  for (int64_t c = b; c < ee; ++c) {
+                    if (line[c] < '0' || line[c] > '9') return false;
+                    acc = acc * 10 + (line[c] - '0');
+                  }
+                  *v = acc;
+                  return true;
+                };
+                long v0, v1;
+                if (!parse(a0, a0e, &v0) || !parse(a1, a1e, &v1)) {
+                  line_err[k] = 1;
+                  break;
+                }
+                int64_t lo_b = a0, lo_e = a0e, hi_b = a1, hi_e = a1e;
+                if (v1 < v0) {
+                  lo_b = a1; lo_e = a1e; hi_b = a0; hi_e = a0e;
+                }
+                std::memcpy(out + w, line + lo_b, lo_e - lo_b);
+                w += lo_e - lo_b;
+                out[w++] = '/';
+                std::memcpy(out + w, line + hi_b, hi_e - hi_b);
+                w += hi_e - hi_b;
+              }
+            }
+          } else {
+            std::memcpy(out + w, line + q, e - q);
+            w += e - q;
+          }
+          ++emitted;
+        }
+        ++idx;
+        if (e >= col_end) break;
+        q = e + 1;
+      }
+      if (line_err[k]) break;
+      if (add_ps || add_pf) {
+        // pad trailing-dropped values up to the base key count
+        int kept = emitted;
+        while (kept < n_base && kept < n_keys - n_drop) {
+          if (kept > 0 || true) out[w++] = ':';
+          out[w++] = '.';
+          ++kept;
+        }
+        if (add_ps) {
+          out[w++] = ':';
+          if (m == 1) {
+            w += std::snprintf(reinterpret_cast<char*>(out + w), 24, "%lld",
+                               static_cast<long long>(ps[k * n_samples + s]));
+          } else {
+            out[w++] = '.';
+          }
+        }
+        if (add_pf) {
+          out[w++] = ':';
+          if (m == 2) {
+            std::memcpy(out + w, "TR_OVERLAP", 10);
+            w += 10;
+          } else {
+            out[w++] = '.';
+          }
+        }
+      }
+      col_beg = col_end + 1;
+    }
+    if (line_err[k]) {
+      w = out_off[k];  // discard partial bytes
+      continue;
+    }
+    out[w++] = '\n';
+  }
+  out_off[n_lines] = w;
+  return w;
 }
 
 }  // extern "C"
