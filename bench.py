@@ -4,97 +4,179 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline: HiPhase v1.x steady state on HG001 WGS with 16 CPU threads
 ≈ 2,068 hets/sec (reference docs/user_guide.md:78).
 
-The primary metric is `e2e_phased_hets_per_sec`: wall clock of the full CLI
-(block gen → allele assignment → beam solve on the TPU → ordered writers)
-on a WGS-realistic simulated dataset (coverage deserts, ~250 kb block
-cadence, SNVs+indels+SVs+TRs, 1% read errors — see
-hiphase_tpu/utils/simulate.py). The device beam-kernel microbenchmark is
-reported as a secondary field.
+Every timed rep is a FRESH PROCESS (`bench_e2e.py` via subprocess), so the
+numbers include process start, engine selection, reference load, and any
+persistent-cache reads — what a real user pays. Run 1 is reported
+separately (`run1_s`, `cold_over_warm`) alongside the warm best.
 
-The dataset is built once and cached; a warmup run populates the persistent
-JAX compilation cache, then the best of `--reps` timed runs is reported
-(run-to-run noise on tunneled dev backends is real; best-of is the stable
-statistic).
+Configurations reported:
+  * local-only mode (the reference's published steady-state config) — the
+    primary metric
+  * dual/global-realignment mode (the SV/TR path; reference costs 2.2x
+    wall in this mode, docs/performance.md:32)
+  * device-resident beam-kernel microbenchmark + node expansions/s (run in
+    a subprocess with a deadline so a degraded device link cannot hang the
+    bench; see kernel_metric_note)
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+BASELINE_HETS_PER_SEC = 2068.0   # HiPhase 16-thread steady state, local mode
+BASELINE_DUAL = 2068.0 / 2.2     # dual mode costs 2.2x wall (performance.md:32)
 
-BASELINE_HETS_PER_SEC = 2068.0  # HiPhase 16-thread steady state
+KERNEL_NOTE = (
+    "kernel_hets_per_sec is a device-resident microbenchmark: beam state "
+    "stays on device across reps; only the final scalar is fetched. "
+    "(r02->r03 historical note: the r03 value measured per-call tunnel "
+    "transfer latency after the tiled rewrite, not the kernel; this "
+    "restores a device-resident definition.) node_expansions_per_sec "
+    "counts generated beam candidates (the A* node-expansion analog)."
+)
+
+
+def _run_json(cmd, timeout):
+    """Run a subprocess, return its last JSON stdout line (or None)."""
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed(p.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
 
 
 def kernel_metric():
-    """Secondary: device-only beam-solve throughput on synthetic batches."""
+    """Device-resident beam-kernel throughput (run me via --kernel-only)."""
+    import numpy as np
+
     import jax
 
-    from hiphase_tpu.phasing.beam import beam_solve_batch
+    from hiphase_tpu.phasing.beam import beam_init_state, beam_tile
 
-    B, R, V, W = 256, 128, 64, 256
+    B, R, W, T = 16, 128, 1024, 128
     rng = np.random.default_rng(0)
-    h1 = rng.integers(0, 2, size=(B, V))
-    hap_choice = rng.random((B, R, 1)) < 0.5
-    base = np.where(hap_choice, h1[:, None, :], 1 - h1[:, None, :])
-    flip = rng.random((B, R, V)) < 0.03
-    alleles = np.where(flip, 1 - base, base).astype(np.uint8)
-    nov = rng.random((B, R, V)) < 0.1
-    alleles = np.where(nov, 3, alleles).astype(np.uint8)
-    quals = rng.integers(20, 80, size=(B, R, V)).astype(np.int32)
-    quals[alleles >= 2] = 0
-    skip = np.zeros((B, V), dtype=bool)
-    args = (alleles, quals, skip)
-
-    out = beam_solve_batch(*args, beam_width=W)  # warmup/compile
-    jax.block_until_ready(out)
-    reps = 5
-    elapsed = float("inf")
+    alleles = rng.integers(0, 2, size=(B, R, T)).astype(np.uint8)
+    quals = rng.integers(20, 80, size=(B, R, T)).astype(np.int32)
+    skip = np.zeros((B, T), dtype=bool)
+    resets = np.zeros((B, R, T), dtype=bool)
+    dev_in = [jax.device_put(x) for x in (alleles, quals, skip, resets)]
+    state = tuple(jax.device_put(s) for s in beam_init_state(B, R, W))
+    state, _ = beam_tile(state, *dev_in, beam_width=W)  # compile
+    jax.block_until_ready(state)
+    reps = 8
+    best = float("inf")
     for _trial in range(3):
+        st = state
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = beam_solve_batch(*args, beam_width=W)
-        jax.block_until_ready(out)
-        elapsed = min(elapsed, (time.perf_counter() - t0) / reps)
-    return B * V / elapsed
+            st, _ys = beam_tile(st, *dev_in, beam_width=W)
+        jax.block_until_ready(st)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return {
+        "kernel_hets_per_sec": round(B * T / best, 1),
+        # candidates generated per column ~= 4*W per batch row
+        "node_expansions_per_sec": round(B * T * 4 * W / best, 1),
+        "kernel_batch": [B, R, T],
+        "kernel_beam_width": W,
+    }
 
 
 def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=int, default=10)
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=2,
+                    help="fresh-process warm reps after run 1")
     ap.add_argument("--skip-kernel", action="store_true")
+    ap.add_argument("--skip-global", action="store_true")
+    ap.add_argument("--kernel-only", action="store_true",
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
 
+    if args.kernel_only:
+        print(json.dumps(kernel_metric()))
+        return 0
+
     os.environ.setdefault("HIPHASE_TPU_BENCH_QUIET", "1")
+    here = os.path.dirname(os.path.abspath(__file__))
+    e2e = os.path.join(here, "bench_e2e.py")
+
+    # build the dataset once so run 1 times the pipeline, not the simulator
     import bench_e2e
+    bench_e2e.ensure_dataset(bench_e2e.build_args(["--mb", str(args.mb)]))
 
-    e2e_args = bench_e2e.build_args(["--mb", str(args.mb)])
-    meta = bench_e2e.ensure_dataset(e2e_args)
+    base_cmd = [sys.executable, e2e, "--mb", str(args.mb)]
+    runs = []
+    for _ in range(1 + args.reps):
+        r = _run_json(base_cmd, timeout=1800)
+        if r is not None:
+            runs.append(r)
+    if not runs:
+        print(json.dumps({"metric": "e2e_phased_hets_per_sec", "value": 0,
+                          "unit": "hets/s", "vs_baseline": 0,
+                          "error": "all e2e runs failed"}))
+        return 1
 
-    # warmup: populates the persistent compile cache / page cache
-    bench_e2e.run_once(e2e_args, meta)
-    best = float("inf")
-    times = []
-    for _ in range(args.reps):
-        elapsed = bench_e2e.run_once(e2e_args, meta)
-        times.append(round(elapsed, 2))
-        best = min(best, elapsed)
+    times = [r["elapsed_s"] for r in runs]
+    run1 = times[0]
+    warm_best = min(times[1:]) if len(times) > 1 else times[0]
+    n_het = runs[0]["n_het"]
+    hets_per_sec = n_het / warm_best
+    best_run = min(runs[1:] or runs, key=lambda r: r["elapsed_s"])
 
-    hets_per_sec = meta["n_het"] / best
-    kern = None if args.skip_kernel else kernel_metric()
-    print(json.dumps({
+    out = {
         "metric": "e2e_phased_hets_per_sec",
         "value": round(hets_per_sec, 1),
         "unit": "hets/s",
         "vs_baseline": round(hets_per_sec / BASELINE_HETS_PER_SEC, 3),
-        "elapsed_s": times,
-        "n_het": meta["n_het"],
-        "total_bp": meta["total_bp"],
-        "kernel_hets_per_sec": None if kern is None else round(kern, 1),
-    }))
+        "elapsed_s": [round(t, 2) for t in times],
+        "run1_s": round(run1, 2),
+        "warm_best_s": round(warm_best, 2),
+        "cold_over_warm": round(run1 / warm_best, 2),
+        "n_het": n_het,
+        "total_bp": runs[0]["total_bp"],
+        "engine_resolved": best_run.get("engine"),
+        "fresh_process_per_rep": True,
+    }
+    if best_run.get("node_expansions"):
+        sol = best_run.get("solve_seconds") or 0
+        out["e2e_node_expansions"] = best_run["node_expansions"]
+        if sol > 0:
+            out["e2e_node_expansions_per_sec"] = round(
+                best_run["node_expansions"] / sol, 1)
+
+    if not args.skip_global:
+        g = _run_json(base_cmd + ["--global"], timeout=1800)
+        if g is not None:
+            out["global_mode"] = {
+                "e2e_phased_hets_per_sec": g["value"],
+                "elapsed_s": g["elapsed_s"],
+                "vs_local": round(g["elapsed_s"] / warm_best, 2),
+                "vs_dual_baseline": round(g["value"] / BASELINE_DUAL, 3),
+            }
+
+    if not args.skip_kernel:
+        k = _run_json([sys.executable, os.path.abspath(__file__),
+                       "--kernel-only"], timeout=600)
+        if k is None:
+            out["kernel_hets_per_sec"] = None
+            out["kernel_error"] = ("device kernel bench timed out or "
+                                   "failed (degraded device link)")
+        else:
+            out.update(k)
+        out["kernel_metric_note"] = KERNEL_NOTE
+
+    print(json.dumps(out))
     return 0
 
 

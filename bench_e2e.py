@@ -117,7 +117,8 @@ def main(argv=None):
 
     hets_per_sec = meta["n_het"] / elapsed
     baseline = 2068.0
-    print(json.dumps({
+    from hiphase_tpu.cli import LAST_RUN_STATS
+    out = {
         "metric": "e2e_phased_hets_per_sec",
         "value": round(hets_per_sec, 1),
         "unit": "hets/s",
@@ -129,7 +130,11 @@ def main(argv=None):
         "engine": args.engine,
         "global_mode": args.global_mode,
         "output_bam": bool(args.output_bam),
-    }))
+    }
+    out.update({k: v for k, v in LAST_RUN_STATS.items()
+                if k in ("engine", "node_expansions", "solve_seconds",
+                         "degraded", "phasing_seconds")})
+    print(json.dumps(out))
     return 0
 
 

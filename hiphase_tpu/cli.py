@@ -20,6 +20,9 @@ logger = logging.getLogger("hiphase_tpu")
 
 U64_MAX = 2**63 - 1
 
+# run telemetry for benches/tests: resolved engine, solver counters
+LAST_RUN_STATS: dict = {}
+
 
 def build_parser() -> argparse.ArgumentParser:
     """Flag surface (ref: cli.rs:28-239)."""
@@ -255,9 +258,23 @@ def _main(argv=None) -> int:
             allow_supplemental_joins=not args.disable_supplemental_joins))
     block_iterator = MultiPhaseBlockIterator(block_iterators)
 
-    engine = engine_future.result()
+    # --engine auto never blocks on the device probe: when the native
+    # engine is available, the run starts on it immediately and *upgrades*
+    # to the device engine mid-run if the probe resolves in its favor — all
+    # engines produce identical bytes, so switching is output-invariant.
+    # A hung device link therefore costs nothing (the probe thread is
+    # stranded, the run finishes on host).
+    upgrade_future = None
+    from hiphase_tpu.io import native as _native_lib
+    if args.engine == "auto" and _native_lib.available():
+        engine = "native"
+        upgrade_future = engine_future
+    else:
+        engine = engine_future.result()
     if engine != args.engine:
-        logger.info("Engine 'auto' resolved to %r", engine)
+        logger.info("Engine 'auto' resolved to %r%s", engine,
+                    " (device probe pending; will upgrade if it wins)"
+                    if upgrade_future is not None else "")
 
     # multi-host: every process runs the same program; blocks are sharded
     # round-robin by host and results replay to host 0, which alone runs
@@ -270,6 +287,11 @@ def _main(argv=None) -> int:
         if jax.distributed.is_initialized() and jax.process_count() > 1:
             multihost = True
             is_writer_host = jax.process_index() == 0
+    if multihost:
+        # all hosts must agree on the engine before solving: block on the
+        # probe (identical outputs, but keep the configuration symmetric)
+        upgrade_future = None
+        engine = engine_future.result()
 
     # writers (ref: main.rs:153-234)
     vcf_writer = None if not is_writer_host else OrderedVcfWriter(
@@ -403,7 +425,7 @@ def _main(argv=None) -> int:
             queue_increment=args.phase_queue_increment,
             threads=args.threads,
             compute_estimates=args.stats_file is not None)
-        if engine == "tpu":
+        def make_device_solver():
             # persistent compilation cache: bucket-shape compiles are
             # expensive on remote-compile TPU backends and fully reusable
             # across runs
@@ -418,13 +440,21 @@ def _main(argv=None) -> int:
                 pass
             from hiphase_tpu.parallel.engine_select import ResilientSolver
             from hiphase_tpu.parallel.orchestrator import BatchedDeviceSolver
-            device_solver = ResilientSolver(
+            return ResilientSolver(
                 BatchedDeviceSolver(
                     beam_width=args.beam_width, batch_size=args.batch_size,
                     min_queue_size=args.phase_min_queue_size,
                     queue_increment=args.phase_queue_increment,
                     compute_estimates=args.stats_file is not None),
                 native_solver)
+
+        if engine == "tpu":
+            device_solver = make_device_solver()
+        elif upgrade_future is not None:
+            from hiphase_tpu.parallel.engine_select import (
+                DeferredUpgradeSolver)
+            device_solver = DeferredUpgradeSolver(
+                native_solver, upgrade_future, make_device_solver)
         else:
             device_solver = native_solver
         if multihost:
@@ -555,6 +585,14 @@ def _main(argv=None) -> int:
     elapsed = time.time() - start_time
     logger.info("Phasing complete: %d blocks, %d variants in %.2fs",
                 results_received, total_variants, elapsed)
+    LAST_RUN_STATS.clear()
+    LAST_RUN_STATS.update(engine=engine, blocks=results_received,
+                          variants=total_variants, phasing_seconds=elapsed)
+    if engine in ("tpu", "native"):
+        LAST_RUN_STATS.update(
+            node_expansions=native_solver.total_expansions,
+            solve_seconds=native_solver.solve_seconds,
+            degraded=getattr(device_solver, "degraded", False))
     return 0
 
 

@@ -40,23 +40,88 @@ DEVICE_CALL_TIMEOUT = float(os.environ.get("HIPHASE_TPU_DEVICE_TIMEOUT", 90))
 PROBE_TIMEOUT = float(os.environ.get("HIPHASE_TPU_PROBE_TIMEOUT", 10))
 
 
-def probe_accelerator(timeout: float = PROBE_TIMEOUT) -> bool:
-    """True iff a non-CPU JAX backend answers a tiny computation in time."""
-    result: list[bool] = []
+# A dispatch→result round-trip above this is a remote/tunneled device; the
+# per-batch host<->device transfers of the solve pipeline then cost more
+# than the native host engine's entire solve, so 'auto' prefers the host.
+# Locally-attached TPUs measure well under 1 ms.
+LATENCY_THRESHOLD_S = float(
+    os.environ.get("HIPHASE_TPU_DEVICE_LATENCY_THRESHOLD", 0.005))
+
+
+PROBE_CACHE_TTL = float(os.environ.get("HIPHASE_TPU_PROBE_TTL", 300))
+
+
+def _probe_cache_path() -> str:
+    return os.path.join(os.path.expanduser("~/.cache/hiphase_tpu"),
+                        "device_probe.json")
+
+
+def _probe_cache_read() -> tuple[bool, float | None] | None:
+    if os.environ.get("HIPHASE_TPU_PROBE_CACHE") == "0":
+        return None
+    try:
+        import json
+        import time
+        with open(_probe_cache_path()) as fh:
+            d = json.load(fh)
+        if time.time() - d["time"] > PROBE_CACHE_TTL:
+            return None
+        if d.get("platforms") != os.environ.get("JAX_PLATFORMS", ""):
+            return None
+        return bool(d["healthy"]), d.get("latency")
+    except Exception:
+        return None
+
+
+def _probe_cache_write(healthy: bool, latency: float | None) -> None:
+    if os.environ.get("HIPHASE_TPU_PROBE_CACHE") == "0":
+        return
+    try:
+        import json
+        import time
+        path = _probe_cache_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:
+            json.dump({"healthy": healthy, "latency": latency,
+                       "time": time.time(),
+                       "platforms": os.environ.get("JAX_PLATFORMS", "")}, fh)
+    except Exception:
+        pass
+
+
+def probe_accelerator(timeout: float = PROBE_TIMEOUT
+                      ) -> tuple[bool, float | None]:
+    """(healthy, median round-trip seconds) for a non-CPU JAX backend.
+    The probe runs on a daemon thread; a hung backend strands only it.
+    The result is disk-cached for PROBE_CACHE_TTL seconds so a degraded
+    link costs the probe timeout once, not once per process."""
+    cached = _probe_cache_read()
+    if cached is not None:
+        return cached
+    result: list[tuple[bool, float | None]] = []
 
     def _probe():
         try:
+            import time
+
             import jax
             import jax.numpy as jnp
+            import numpy as np
             devs = jax.devices()
             if not devs or devs[0].platform == "cpu":
-                result.append(False)
+                result.append((False, None))
                 return
-            import numpy as np
-            np.asarray(jnp.zeros(8) + 1)
-            result.append(True)
+            x = jax.device_put(np.zeros(8, dtype=np.float32))
+            np.asarray(x + 1)  # compile + first transfer
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                np.asarray(x + 1)
+                times.append(time.perf_counter() - t0)
+            times.sort()
+            result.append((True, times[len(times) // 2]))
         except Exception:  # pragma: no cover - backend import failures
-            result.append(False)
+            result.append((False, None))
 
     import threading
     t = threading.Thread(target=_probe, daemon=True)
@@ -65,18 +130,30 @@ def probe_accelerator(timeout: float = PROBE_TIMEOUT) -> bool:
     if not result:
         logger.warning("Accelerator probe did not answer within %.1fs; "
                        "treating device as unavailable", timeout)
-        return False
+        _probe_cache_write(False, None)
+        return False, None
+    _probe_cache_write(*result[0])
     return result[0]
 
 
 def choose_engine(requested: str) -> str:
-    """Resolve the --engine flag. 'auto' picks the best available engine:
-    device when healthy, native host beam otherwise, A* oracle last."""
+    """Resolve the --engine flag. 'auto' picks the fastest available
+    engine: the device when it is healthy AND locally attached (round-trip
+    under LATENCY_THRESHOLD_S), the native host beam otherwise, the A*
+    oracle last. All engines produce identical output, so this is purely a
+    performance decision."""
     if requested != "auto":
         return requested
     from hiphase_tpu.io import native as native_lib
-    if probe_accelerator():
+    healthy, latency = probe_accelerator()
+    if healthy and (latency is not None and latency < LATENCY_THRESHOLD_S):
         return "tpu"
+    if healthy:
+        logger.info("Accelerator answers but round-trip is %.1f ms "
+                    "(threshold %.1f ms): a remote/tunneled device loses to "
+                    "the native host engine for this pipeline; using "
+                    "'native' (force with --engine tpu)",
+                    1e3 * (latency or 0), 1e3 * LATENCY_THRESHOLD_S)
     if native_lib.available():
         return "native"
     return "astar"
@@ -115,6 +192,45 @@ class _DaemonCaller:
         if kind == "err":
             raise val
         return val
+
+
+class DeferredUpgradeSolver:
+    """Starts on the native host solver and switches to a lazily-built
+    device solver if the (still running) engine probe resolves to 'tpu'.
+    Engines are bit-identical, so the mid-run switch cannot change output;
+    a probe that never answers costs nothing."""
+
+    def __init__(self, native_solver, probe_future, make_device_solver):
+        self._sol = native_solver
+        self._native = native_solver
+        self._future = probe_future
+        self._make = make_device_solver
+
+    @property
+    def degraded(self) -> bool:
+        return getattr(self._sol, "degraded", False)
+
+    def _maybe_upgrade(self) -> list:
+        if self._future is None or not self._future.done():
+            return []
+        choice = self._future.result()
+        self._future = None
+        if choice != "tpu":
+            return []
+        out = self._native.drain()
+        logger.info("Device probe resolved in favor of the accelerator; "
+                    "upgrading engine to 'tpu' mid-run")
+        self._sol = self._make()
+        return out
+
+    def submit(self, data):
+        out = self._maybe_upgrade()
+        out.extend(self._sol.submit(data))
+        return out
+
+    def drain(self):
+        self._future = None  # too late to benefit from an upgrade
+        return self._sol.drain()
 
 
 class ResilientSolver:

@@ -6,6 +6,12 @@ sitecustomize that registers the axon PJRT plugin in every interpreter, so
 env vars alone cannot force CPU — use jax.config before any backend use.
 """
 
+import os
+
+# probe results must not leak between the CPU-pinned test config and real
+# device runs (the cache keys on env, and tests override via jax.config)
+os.environ["HIPHASE_TPU_PROBE_CACHE"] = "0"
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -86,3 +86,51 @@ def test_choose_engine_auto_on_cpu_prefers_native():
     resolved = choose_engine("auto")
     expected = "native" if native.available() else "astar"
     assert resolved == expected
+
+
+@pytest.mark.skipif(not native.available(), reason="native library not built")
+def test_deferred_upgrade_switches_mid_run():
+    """Auto mode starts on native and upgrades to the device solver when
+    the probe future resolves to 'tpu'; no blocks lost or duplicated."""
+    from concurrent.futures import Future
+
+    from hiphase_tpu.parallel.engine_select import DeferredUpgradeSolver
+
+    fut = Future()
+    made = []
+
+    def make_device():
+        s = NativeBeamSolver(batch_size=1)  # stand-in "device" solver
+        made.append(s)
+        return s
+
+    solver = DeferredUpgradeSolver(NativeBeamSolver(batch_size=3), fut,
+                                   make_device)
+    blocks = [_block_data(300 + i, i) for i in range(6)]
+    results = []
+    for i, b in enumerate(blocks):
+        if i == 3:
+            fut.set_result("tpu")
+        results.extend(solver.submit(b))
+    results.extend(solver.drain())
+    assert made, "device solver was never built"
+    got = sorted(pr.phase_block.block_index for pr, _hr in results)
+    assert got == list(range(6))
+
+
+@pytest.mark.skipif(not native.available(), reason="native library not built")
+def test_deferred_upgrade_ignores_unresolved_probe():
+    from concurrent.futures import Future
+
+    from hiphase_tpu.parallel.engine_select import DeferredUpgradeSolver
+
+    fut = Future()  # never resolves (hung probe)
+    solver = DeferredUpgradeSolver(NativeBeamSolver(batch_size=2), fut,
+                                   lambda: pytest.fail("must not build"))
+    blocks = [_block_data(400 + i, i) for i in range(4)]
+    results = []
+    for b in blocks:
+        results.extend(solver.submit(b))
+    results.extend(solver.drain())
+    got = sorted(pr.phase_block.block_index for pr, _hr in results)
+    assert got == list(range(4))
