@@ -38,6 +38,7 @@ EOF_START = 4_542_278  # 0x454F46 "EOF" — marks the spec EOF container
 
 BLOCK_RAW = 0
 BLOCK_GZIP = 1
+BLOCK_RANS4X8 = 4  # htslib's default for many external series
 
 CT_FILE_HEADER = 0
 CT_COMPRESSION_HEADER = 1
@@ -160,6 +161,11 @@ def _write_block(out: bytearray, method: int, ctype: int, content_id: int,
         comp = gzip.compress(data, compresslevel=4)
         if len(comp) >= len(data):
             method, comp = BLOCK_RAW, data
+    elif method == BLOCK_RANS4X8:
+        from hiphase_tpu.io import rans
+        comp = rans.compress(data, order=0)
+        if len(comp) >= len(data) or not data:
+            method, comp = BLOCK_RAW, data
     else:
         comp = data
     blk = bytearray()
@@ -186,6 +192,11 @@ def _read_block(buf, pos: int):
         data = comp
     elif method == BLOCK_GZIP:
         data = gzip.decompress(comp)
+    elif method == BLOCK_RANS4X8:
+        from hiphase_tpu.io import native, rans
+        data = native.rans_uncompress(comp, usize)
+        if data is None:  # no native lib / malformed: the oracle decides
+            data = rans.uncompress(comp)
     else:
         raise CramError(f"unsupported CRAM block compression method {method}")
     if len(data) != usize:
@@ -539,7 +550,11 @@ def _encode_record(rec, ref_seq: bytes | None, out: _SeriesOut,
         if code == ord("X"):
             out.raw(BID_BS, bytes([payload]))
         elif code == ord("B"):
+            # spec §10.5: ReadBase is a (base, quality) pair; the quality
+            # byte keeps htslib's QS stream in sync even though this
+            # profile also stores the full quality array (CF bit 0x1)
             out.raw(BID_BA, payload)
+            out.raw(BID_QS, bytes([quals[p - 1]]))
         elif code in (ord("I"), ord("S")):
             out.raw(BID_IN if code == ord("I") else BID_SC,
                     payload + b"\x00")
@@ -640,6 +655,8 @@ def _decode_record(sin: _SeriesIn, preservation, td_lines, slice_refid,
             payload = sin.take(BID_BS, 1)[0]
         elif code == ord("B"):
             payload = sin.take(BID_BA, 1)
+            sin.take(BID_QS, 1)  # paired quality byte; the stored full
+            # array (CF bit 0x1) supersedes it, as in htslib
         elif code == ord("I"):
             payload = sin.until0(BID_IN)
         elif code == ord("S"):
@@ -780,7 +797,10 @@ class CramWriter:
     mirrors `BamWriter`: write(BamRecord), close(), write_index() (.crai)."""
 
     def __init__(self, path: str, header, reference_genome, level: int = 6,
-                 io_threads: int = 0):
+                 io_threads: int = 0, codec: str = "gzip"):
+        if codec not in ("gzip", "rans"):
+            raise CramError(f"unsupported CRAM codec {codec!r}")
+        self._ext_method = BLOCK_GZIP if codec == "gzip" else BLOCK_RANS4X8
         self.path = path
         self.header = header
         self._ref = reference_genome
@@ -873,7 +893,7 @@ class CramWriter:
         _write_block(data, BLOCK_RAW, CT_MAPPED_SLICE, 0, bytes(sh))
         _write_block(data, BLOCK_RAW, CT_CORE, 0, b"")
         for cid, d in ext:
-            _write_block(data, BLOCK_GZIP, CT_EXTERNAL, cid, d)
+            _write_block(data, self._ext_method, CT_EXTERNAL, cid, d)
 
         offset = _write_container_header(
             self._fh, bytes(data), refid, start, span, len(recs),
@@ -882,15 +902,21 @@ class CramWriter:
                               len(data)))
         self._counter += len(recs)
 
+    # The CRAM 3.0 specification's canonical EOF container — these exact 38
+    # bytes (including the fixed CRC32s) are what htslib writes and what
+    # `samtools quickcheck` looks for at the file tail (spec §9).
+    EOF_BYTES = bytes([
+        0x0f, 0x00, 0x00, 0x00, 0xff, 0xff, 0xff, 0xff, 0x0f, 0xe0,
+        0x45, 0x4f, 0x46, 0x00, 0x00, 0x00, 0x00, 0x01, 0x00, 0x05,
+        0xbd, 0xd9, 0x4f, 0x00, 0x01, 0x00, 0x06, 0x06, 0x01, 0x00,
+        0x01, 0x00, 0x01, 0x00, 0xee, 0x63, 0x01, 0x4b,
+    ])
+
     def close(self) -> None:
         if self._closed:
             return
         self._flush()
-        # spec EOF container: empty container whose start is "EOF"
-        data = bytearray()
-        _write_block(data, BLOCK_RAW, CT_COMPRESSION_HEADER, 0, b"")
-        _write_container_header(self._fh, bytes(data), -1, EOF_START, 0, 0,
-                                0, 0, 1, [0])
+        self._fh.write(self.EOF_BYTES)
         self._fh.close()
         self._closed = True
 

@@ -584,3 +584,24 @@ def vcf_transform_batch(text: np.ndarray, line_off, line_len, n_samples: int,
     if total < 0:
         return None
     return out[:int(total)], out_off, line_err
+
+
+def rans_uncompress(stream: bytes, out_size: int):
+    """Fast rans4x8 decode (hn_rans_uncompress); None when the native
+    library is unavailable or the stream is malformed (callers fall back
+    to the pure-Python oracle, which raises precise errors)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib.hn_rans_uncompress, "_hn_ready"):
+        lib.hn_rans_uncompress.restype = ctypes.c_int64
+        lib.hn_rans_uncompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64]
+        lib.hn_rans_uncompress._hn_ready = True
+    src = np.frombuffer(stream, dtype=np.uint8)
+    out = np.empty(max(out_size, 1), dtype=np.uint8)
+    n = lib.hn_rans_uncompress(_ptr(src), len(src), _ptr(out), out_size)
+    if n < 0:
+        return None
+    return out[:int(n)].tobytes()

@@ -18,6 +18,7 @@
 #include <cstring>
 #include <cstdio>
 #include <cstdlib>
+#include <memory>
 #include <thread>
 #include <unordered_map>
 #include <queue>
@@ -2600,6 +2601,191 @@ int64_t hn_vcf_transform(
   }
   out_off[n_lines] = w;
   return w;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// rANS 4x8 decoder (CRAM 3.0 spec §13) — the block compression method
+// real-world CRAMs use for external data series. Order-0 and order-1,
+// 4 interleaved 32-bit states, 12-bit frequencies. The Python module
+// hiphase_tpu/io/rans.py is the specification oracle this is tested
+// against (and provides the encoder).
+
+namespace rans4x8 {
+
+constexpr uint32_t kTotFreq = 4096;
+constexpr uint32_t kShift = 12;
+constexpr uint32_t kLow = 1u << 23;
+
+struct Table {
+  uint16_t freq[256] = {0};
+  uint16_t cum[257] = {0};
+  uint8_t lookup[kTotFreq];
+  bool used = false;
+
+  bool finish() {
+    uint32_t c = 0;
+    for (int s = 0; s < 256; ++s) {
+      cum[s] = static_cast<uint16_t>(c);
+      c += freq[s];
+      if (c > kTotFreq) return false;
+    }
+    cum[256] = static_cast<uint16_t>(c);
+    for (int s = 0; s < 256; ++s) {
+      for (uint32_t k = cum[s]; k < cum[s] + freq[s]; ++k)
+        lookup[k] = static_cast<uint8_t>(s);
+    }
+    // slots beyond the cumulative total are invalid; zero-fill so a
+    // corrupt stream decodes deterministically instead of reading junk
+    for (uint32_t k = c; k < kTotFreq; ++k) lookup[k] = 0;
+    used = true;
+    return true;
+  }
+};
+
+// Reads one order-0-style frequency list into `t` (without finish()).
+// Returns new position or -1 on overrun.
+static int64_t read_freqs(const uint8_t* buf, int64_t pos, int64_t len,
+                          Table* t) {
+  if (pos >= len) return -1;
+  int sym = buf[pos++];
+  int last = -2;
+  int rle = 0;
+  for (;;) {
+    if (pos >= len) return -1;
+    uint32_t f = buf[pos++];
+    if (f >= 128) {
+      if (pos >= len) return -1;
+      f = ((f & 0x7F) << 8) | buf[pos++];
+    }
+    t->freq[sym] = static_cast<uint16_t>(f);
+    last = sym;
+    if (rle > 0) {
+      --rle;
+      sym = last + 1;
+      if (sym > 255) return -1;
+    } else {
+      if (pos >= len) return -1;
+      sym = buf[pos++];
+      if (sym == 0) break;
+      if (sym == last + 1) {
+        if (pos >= len) return -1;
+        rle = buf[pos++];
+      }
+    }
+  }
+  return pos;
+}
+
+}  // namespace rans4x8
+
+extern "C" {
+
+// Decode a full rans4x8 stream (9-byte header + payload) into `out`
+// (capacity out_cap). Returns the decoded size, or -1 on malformed input
+// / capacity mismatch.
+int64_t hn_rans_uncompress(const uint8_t* in, int64_t in_len, uint8_t* out,
+                           int64_t out_cap) {
+  using namespace rans4x8;
+  if (in_len < 9) return -1;
+  uint8_t order = in[0];
+  uint32_t comp_size, out_size;
+  std::memcpy(&comp_size, in + 1, 4);
+  std::memcpy(&out_size, in + 5, 4);
+  if (out_size == 0) return 0;
+  if (static_cast<int64_t>(out_size) > out_cap) return -1;
+  if (9 + static_cast<int64_t>(comp_size) > in_len) return -1;
+  const uint8_t* buf = in;
+  int64_t len = 9 + static_cast<int64_t>(comp_size);
+  int64_t pos = 9;
+
+  auto read_states = [&](uint32_t R[4]) -> bool {
+    if (pos + 16 > len) return false;
+    for (int k = 0; k < 4; ++k) {
+      std::memcpy(&R[k], buf + pos, 4);
+      pos += 4;
+    }
+    return true;
+  };
+
+  if (order == 0) {
+    Table t;
+    pos = read_freqs(buf, pos, len, &t);
+    if (pos < 0 || !t.finish()) return -1;
+    uint32_t R[4];
+    if (!read_states(R)) return -1;
+    for (uint32_t i = 0; i < out_size; ++i) {
+      uint32_t& x = R[i & 3];
+      uint32_t m = x & (kTotFreq - 1);
+      uint8_t s = t.lookup[m];
+      out[i] = s;
+      uint32_t f = t.freq[s];
+      if (f == 0) return -1;
+      x = f * (x >> kShift) + m - t.cum[s];
+      while (x < kLow && pos < len) x = (x << 8) | buf[pos++];
+    }
+    return out_size;
+  }
+  if (order == 1) {
+    auto tables = std::make_unique<Table[]>(256);
+    if (pos >= len) return -1;
+    int ctx = buf[pos++];
+    int last = -2;
+    int rle = 0;
+    for (;;) {
+      pos = read_freqs(buf, pos, len, &tables[ctx]);
+      if (pos < 0 || !tables[ctx].finish()) return -1;
+      last = ctx;
+      if (rle > 0) {
+        --rle;
+        ctx = last + 1;
+        if (ctx > 255) return -1;
+      } else {
+        if (pos >= len) return -1;
+        ctx = buf[pos++];
+        if (ctx == 0) break;
+        if (ctx == last + 1) {
+          if (pos >= len) return -1;
+          rle = buf[pos++];
+        }
+      }
+    }
+    uint32_t R[4];
+    if (!read_states(R)) return -1;
+    uint32_t isz4 = out_size >> 2;
+    uint8_t L[4] = {0, 0, 0, 0};
+    for (uint32_t i = 0; i < isz4; ++i) {
+      for (int k = 0; k < 4; ++k) {
+        uint32_t& x = R[k];
+        uint32_t m = x & (kTotFreq - 1);
+        const Table& t = tables[L[k]];
+        if (!t.used) return -1;
+        uint8_t s = t.lookup[m];
+        out[k * isz4 + i] = s;
+        uint32_t f = t.freq[s];
+        if (f == 0) return -1;
+        x = f * (x >> kShift) + m - t.cum[s];
+        while (x < kLow && pos < len) x = (x << 8) | buf[pos++];
+        L[k] = s;
+      }
+    }
+    for (uint32_t i = 4 * isz4; i < out_size; ++i) {
+      uint32_t& x = R[3];
+      uint32_t m = x & (kTotFreq - 1);
+      const Table& t = tables[L[3]];
+      if (!t.used) return -1;
+      uint8_t s = t.lookup[m];
+      out[i] = s;
+      uint32_t f = t.freq[s];
+      if (f == 0) return -1;
+      x = f * (x >> kShift) + m - t.cum[s];
+      while (x < kLow && pos < len) x = (x << 8) | buf[pos++];
+      L[3] = s;
+    }
+    return out_size;
+  }
+  return -1;
 }
 
 }  // extern "C"
