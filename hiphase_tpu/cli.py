@@ -141,7 +141,8 @@ def check_settings(args) -> None:
         if bam.endswith(".cram"):
             if not os.path.exists(bam + ".crai"):
                 raise SystemExit(f"CRAM index not found for: {bam}")
-        elif not os.path.exists(bam + ".bai"):
+        elif not (os.path.exists(bam + ".bai")
+                  or os.path.exists(bam + ".csi")):
             raise SystemExit(f"BAM index not found for: {bam}")
 
     if len(args.vcfs) != len(args.output_vcfs):

@@ -299,7 +299,12 @@ class BamReader:
         try:
             self._index = BaiIndex.load(path + ".bai")
         except OSError:
-            pass
+            # htslib auto-loads .csi for long-contig BAMs; mirror that
+            try:
+                from hiphase_tpu.io.tabix import TabixIndex
+                self._index = _CsiBamIndex(TabixIndex.load_csi(path + ".csi"))
+            except OSError:
+                pass
 
     def close(self):
         self._bgzf.close()
@@ -441,6 +446,17 @@ def reg2bins(beg: int, end: int) -> list[int]:
     for shift, offset in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
         bins.extend(range(offset + (beg >> shift), offset + (end >> shift) + 1))
     return bins
+
+
+class _CsiBamIndex:
+    """Adapter: answer BaiIndex-style ``query(tid, start, end)`` from a
+    .csi index (no name table; larger min_shift for >2^29 contigs)."""
+
+    def __init__(self, csi):
+        self._csi = csi
+
+    def query(self, tid: int, start: int, end: int):
+        return self._csi.query_tid(tid, start, end)
 
 
 class BaiIndex:

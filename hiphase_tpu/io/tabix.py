@@ -66,6 +66,13 @@ class TabixIndex:
             tid = self.names.index(name)
         except ValueError:
             return []
+        return self.query_tid(tid, start, end)
+
+    def query_tid(self, tid: int, start: int, end: int
+                  ) -> list[tuple[int, int]]:
+        """By-tid query (BAM/BCF CSI indexes carry no name table)."""
+        if not 0 <= tid < len(self.bins):
+            return []
         bins = self.bins[tid]
         linear = self.linear[tid]
         min_off = 0

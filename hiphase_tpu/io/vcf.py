@@ -235,6 +235,17 @@ class VcfReader:
     def __init__(self, path: str):
         self.path = path
         self._is_bgzf = is_bgzf(path)
+        self._bcf = None
+        if self._is_bgzf:
+            from hiphase_tpu.io.bcf import BcfReader, is_bcf as _is_bcf
+            if _is_bcf(path):
+                # binary BCF: decode records to text lines transparently
+                # (ref: htslib's bcf::IndexedReader, phaser.rs:43-45)
+                self._bcf = BcfReader(path)
+                self.header = VcfHeader.parse(
+                    [l + b"\n" for l in self._bcf.header_lines])
+                self._index = None
+                return
         self.header = self._read_header()
         self._index: TabixIndex | None = None
         if os.path.exists(path + ".tbi"):
@@ -264,6 +275,10 @@ class VcfReader:
         return self.header.samples
 
     def __iter__(self):
+        if self._bcf is not None:
+            for line in self._bcf:
+                yield VcfRecord.parse(line)
+            return
         with self._open() as fh:
             for line in fh:
                 if line.startswith(b"#") or not line.strip():
@@ -272,6 +287,10 @@ class VcfReader:
 
     def fetch(self, chrom: str, start: int, end: int):
         """Yield records overlapping [start, end) 0-based on chrom."""
+        if self._bcf is not None:
+            for line in self._bcf.fetch_lines(chrom, start, end):
+                yield VcfRecord.parse(line)
+            return
         if self._index is not None and self._is_bgzf:
             with BgzfReader(self.path) as bz:
                 for cbeg, cend in self._index.query(chrom, start, end):
@@ -313,12 +332,24 @@ class VcfWriter:
         self.path = path
         self.header = header
         self.csi = csi
+        self._bcf = None
+        if path.endswith(".bcf"):
+            # binary BCF output, .csi-indexed (ref: ordered_vcf_writer.rs
+            # writes whatever container the output path implies via htslib)
+            from hiphase_tpu.io.bcf import BcfWriter
+            hdr_lines = list(header.lines) + [header.column_line()]
+            self._bcf = BcfWriter(path, hdr_lines, io_threads=io_threads)
+            self._closed = False
+            return
         self._bgzf = BgzfBatchWriter(path, threads=io_threads)
         self._bgzf.write(header.serialize())
         self._entries: list[tuple[str, int, int, int, int]] = []
         self._closed = False
 
     def write(self, rec: VcfRecord) -> None:
+        if self._bcf is not None:
+            self._bcf.write_line(b"\t".join(rec.fields))
+            return
         ubeg = self._bgzf.upos
         self._bgzf.write(rec.serialize())
         uend = self._bgzf.upos
@@ -330,6 +361,11 @@ class VcfWriter:
                         chrom: str) -> None:
         """Append pre-serialized newline-terminated records in one write;
         out_off[i]..out_off[i+1] delimits record i for the index entries."""
+        if self._bcf is not None:
+            for i in range(len(poss)):
+                line = data[int(out_off[i]):int(out_off[i + 1])]
+                self._bcf.write_line(line.rstrip(b"\n"))
+            return
         base = self._bgzf.upos
         self._bgzf.write(data)
         entries = self._entries
@@ -340,12 +376,19 @@ class VcfWriter:
     def close(self) -> None:
         if self._closed:
             return
+        if self._bcf is not None:
+            self._bcf.close()
+            self._closed = True
+            return
         self._bgzf.close()
         self._closed = True
 
     def write_index(self) -> None:
         """(ref: vcf_util.rs:32-54 — tbi, or CSI min_shift 14)"""
         assert self._closed
+        if self._bcf is not None:
+            self._bcf.write_index()
+            return
         tabix = TabixBuilder()
         for chrom, beg, end, ubeg, uend in self._entries:
             tabix.add(chrom, beg, end, self._bgzf.voffset(ubeg),

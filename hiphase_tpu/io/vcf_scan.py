@@ -130,6 +130,12 @@ def _scan(path: str, chrom: str, n_samples: int) -> ChromScan | None:
     from hiphase_tpu.io.vcf import VcfReader
 
     reader = VcfReader(path)
+    if reader._bcf is not None:
+        # binary BCF: synthesize the chromosome's text once and scan it
+        lines = list(reader._bcf.fetch_lines(chrom, 0, U64_MAX))
+        text = b"\n".join(lines) + (b"\n" if lines else b"")
+        return _scan_text(np.frombuffer(text, dtype=np.uint8), chrom,
+                          n_samples)
     if reader._index is None or not reader._is_bgzf:
         return None
     chunks = reader._index.query(chrom, 0, U64_MAX)
@@ -157,7 +163,11 @@ def _scan(path: str, chrom: str, n_samples: int) -> ChromScan | None:
     raw = native.bgzf_decompress_all_arr(comp, threads=2)
     if raw is None:
         return None
-    raw = raw[u0:]
+    return _scan_text(raw[u0:], chrom, n_samples)
+
+
+def _scan_text(raw: np.ndarray, chrom: str, n_samples: int
+               ) -> ChromScan | None:
     n_nl = int(np.count_nonzero(raw == 10)) + 1
     lib = native._load()
     import ctypes

@@ -235,3 +235,34 @@ def test_prephased_fixture_strip(ref_test_data):
     found_phased = any(rec.genotype(si)[1]
                        for rec in recs for si in range(len(rd.samples)))
     assert found_phased
+
+
+def test_bam_opens_with_csi_only_index(tmp_path):
+    """htslib auto-loads .csi for BAMs (long contigs); a BAM with only a
+    .csi index must open and fetch identically (ref: phaser.rs:43-45)."""
+    import os
+
+    from hiphase_tpu.io.bam import BaiIndex, BamReader
+    from hiphase_tpu.io.tabix import TabixIndex
+
+    from tests.sim import simulate_contig, simulate_reads, write_bam
+
+    rng = np.random.default_rng(5)
+    contig = simulate_contig(rng, "c1", 30000)
+    bam = str(tmp_path / "c.bam")
+    reads = simulate_reads(rng, contig, 0, coverage=8,
+                           rg_tag=b"RGZrg1\x00")
+    write_bam(bam, [contig], [reads])
+    with BamReader(bam) as rd:
+        expected = [(r.read_name, r.pos) for r in rd.fetch("c1", 5000, 9000)]
+    assert expected
+    # BAI and CSI share bin numbering at min_shift=14/depth=5: convert
+    bai = BaiIndex.load(bam + ".bai")
+    csi = TabixIndex([], bai.bins, [[] for _ in bai.bins],
+                     min_shift=14, depth=5)
+    csi.save_csi(bam + ".csi")
+    os.remove(bam + ".bai")
+    with BamReader(bam) as rd:
+        assert rd._index is not None
+        got = [(r.read_name, r.pos) for r in rd.fetch("c1", 5000, 9000)]
+    assert got == expected
