@@ -29,12 +29,15 @@ BASELINE_HETS_PER_SEC = 2068.0   # HiPhase 16-thread steady state, local mode
 BASELINE_DUAL = 2068.0 / 2.2     # dual mode costs 2.2x wall (performance.md:32)
 
 KERNEL_NOTE = (
-    "kernel_hets_per_sec is a device-resident microbenchmark: beam state "
-    "stays on device across reps; only the final scalar is fetched. "
-    "(r02->r03 historical note: the r03 value measured per-call tunnel "
-    "transfer latency after the tiled rewrite, not the kernel; this "
-    "restores a device-resident definition.) node_expansions_per_sec "
-    "counts generated beam candidates (the A* node-expansion analog)."
+    "kernel_hets_per_sec is a device-resident microbenchmark at the full "
+    "sound beam width (W=1024): beam state stays on device across reps and "
+    "a final scalar fetch proves completion (block_until_ready alone can "
+    "return early on remote backends). (r02->r03 historical note: the r03 "
+    "value measured per-call tunnel transfer latency after the tiled "
+    "rewrite, not the kernel; this restores a device-resident definition.) "
+    "node_expansions_per_sec counts generated beam candidates (the A* "
+    "node-expansion analog); e2e_node_expansions_per_sec is the same "
+    "counter from the end-to-end run's solver."
 )
 
 
@@ -69,18 +72,21 @@ def kernel_metric():
     quals = rng.integers(20, 80, size=(B, R, T)).astype(np.int32)
     skip = np.zeros((B, T), dtype=bool)
     resets = np.zeros((B, R, T), dtype=bool)
+    import numpy as _np
     dev_in = [jax.device_put(x) for x in (alleles, quals, skip, resets)]
     state = tuple(jax.device_put(s) for s in beam_init_state(B, R, W))
     state, _ = beam_tile(state, *dev_in, beam_width=W)  # compile
-    jax.block_until_ready(state)
-    reps = 8
+    _np.asarray(state[3][:, 0])  # warm; also proves completion
+    reps = 16
     best = float("inf")
     for _trial in range(3):
         st = state
         t0 = time.perf_counter()
         for _ in range(reps):
             st, _ys = beam_tile(st, *dev_in, beam_width=W)
-        jax.block_until_ready(st)
+        # fetch a scalar slice: on remote backends block_until_ready can
+        # return before execution finishes; a materialized value cannot lie
+        _np.asarray(st[3][:, 0])
         best = min(best, (time.perf_counter() - t0) / reps)
     return {
         "kernel_hets_per_sec": round(B * T / best, 1),

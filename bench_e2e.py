@@ -133,7 +133,7 @@ def main(argv=None):
     }
     out.update({k: v for k, v in LAST_RUN_STATS.items()
                 if k in ("engine", "node_expansions", "solve_seconds",
-                         "degraded", "phasing_seconds")})
+                         "degraded", "phasing_seconds", "stage_seconds")})
     print(json.dumps(out))
     return 0
 

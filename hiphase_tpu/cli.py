@@ -342,6 +342,10 @@ def _main(argv=None) -> int:
     start_time = time.time()
     results_received = 0
     total_variants = 0
+    # cumulative per-stage busy time (thread-summed; stages overlap, so
+    # these explain CPU distribution, not wall composition)
+    stage_s = {"block_gen": 0.0, "prepare": 0.0, "solve": 0.0,
+               "writer": 0.0}
     logger.info("Phase block generation starting...")
 
     def should_solve(block):
@@ -351,9 +355,11 @@ def _main(argv=None) -> int:
 
     def emit_sync(phase_result, haplotag_result):
         nonlocal results_received, total_variants
+        t0 = time.perf_counter()
         total_variants += phase_result.phase_block.num_variants
         results_received += 1
         process_results(phase_result, haplotag_result)
+        stage_s["writer"] += time.perf_counter() - t0
         if results_received % 100 == 0:
             elapsed = time.time() - start_time
             logger.info("Received results for %d phase blocks: %.4f "
@@ -401,12 +407,19 @@ def _main(argv=None) -> int:
             raise writer_errors[0]
 
     def windowed(iterator):
-        for i, block in enumerate(iterator):
-            if i < args.skip:
-                continue
+        it = iter(iterator)
+        i = 0
+        while True:
+            t0 = time.perf_counter()
+            block = next(it, None)
+            stage_s["block_gen"] += time.perf_counter() - t0
+            if block is None:
+                return
             if i >= args.skip + args.take:
-                break
-            yield block
+                return
+            if i >= args.skip:
+                yield block
+            i += 1
 
     if engine in ("tpu", "native"):
         from hiphase_tpu.parallel.orchestrator import iter_prepared
@@ -414,11 +427,15 @@ def _main(argv=None) -> int:
         from hiphase_tpu.phasing.phaser import prepare_block
 
         def prepare_fn(block):
-            return prepare_block(
-                block, args.vcfs, sample_to_bams[block.sample_name],
-                reference_genome, args.reference_buffer,
-                args.min_matched_alleles, args.min_mapping_quality,
-                global_config)
+            t0 = time.perf_counter()
+            try:
+                return prepare_block(
+                    block, args.vcfs, sample_to_bams[block.sample_name],
+                    reference_genome, args.reference_buffer,
+                    args.min_matched_alleles, args.min_mapping_quality,
+                    global_config)
+            finally:
+                stage_s["prepare"] += time.perf_counter() - t0
 
         native_solver = NativeBeamSolver(
             beam_width=args.beam_width, batch_size=args.batch_size,
@@ -590,10 +607,13 @@ def _main(argv=None) -> int:
     LAST_RUN_STATS.update(engine=engine, blocks=results_received,
                           variants=total_variants, phasing_seconds=elapsed)
     if engine in ("tpu", "native"):
+        stage_s["solve"] = native_solver.solve_seconds
         LAST_RUN_STATS.update(
             node_expansions=native_solver.total_expansions,
             solve_seconds=native_solver.solve_seconds,
             degraded=getattr(device_solver, "degraded", False))
+    LAST_RUN_STATS["stage_seconds"] = {
+        k: round(v, 3) for k, v in stage_s.items()}
     return 0
 
 

@@ -313,25 +313,37 @@ def haplotag_reads(read_segments: list[ReadSegment], haplotype_1: list[int],
                    ) -> dict[str, tuple[int, int]]:
     """Assign each read to the lower-cost haplotype; ties stay untagged
     (ref: phaser.rs:714-750)."""
+    out: dict[str, tuple[int, int]] = {}
+    segs = [rs for rs in read_segments if rs.end > rs.start]
+    if not segs:
+        return out
     h1 = np.asarray(haplotype_1, dtype=np.uint8)
     h2 = np.asarray(haplotype_2, dtype=np.uint8)
     het = h1 != h2
-    out: dict[str, tuple[int, int]] = {}
-    for rs in read_segments:
-        a, q = rs.alleles, rs.quals
-        hh1 = h1[rs.start:rs.end]
-        hh2 = h2[rs.start:rs.end]
-        s1 = int(q[(hh1 < AMB) & (a != hh1)].sum())
-        s2 = int(q[(hh2 < AMB) & (a != hh2)].sum())
-        if s1 == s2:
-            continue
-        haplotag = 0 if s1 < s2 else 1
-        # block id comes from the first het, resolved variant the read covers
-        cand = np.flatnonzero(het[rs.start:rs.end] & (a < AMB))
-        assert cand.size > 0
-        first_variant = rs.start + int(cand[0])
+    # flat layout over all segments: per-read reductions via reduceat
+    n = len(segs)
+    lens = np.fromiter((rs.end - rs.start for rs in segs), np.int64, n)
+    starts = np.fromiter((rs.start for rs in segs), np.int64, n)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    a = np.concatenate([rs.alleles for rs in segs])
+    q = np.concatenate([rs.quals for rs in segs]).astype(np.int64)
+    gidx = (np.arange(offs[-1], dtype=np.int64)
+            - np.repeat(offs[:-1], lens) + np.repeat(starts, lens))
+    hh1 = h1[gidx]
+    hh2 = h2[gidx]
+    s1 = np.add.reduceat(np.where((hh1 < AMB) & (a != hh1), q, 0), offs[:-1])
+    s2 = np.add.reduceat(np.where((hh2 < AMB) & (a != hh2), q, 0), offs[:-1])
+    # block id comes from the first het, resolved variant the read covers
+    big = np.int64(2**62)
+    firsts = np.minimum.reduceat(
+        np.where(het[gidx] & (a < AMB), gidx, big), offs[:-1])
+    for i in np.flatnonzero(s1 != s2):
+        rs = segs[i]
+        haplotag = 0 if s1[i] < s2[i] else 1
+        assert firsts[i] < big
         assert rs.read_name not in out
-        out[rs.read_name] = (block_tags[first_variant], haplotag)
+        out[rs.read_name] = (block_tags[int(firsts[i])], haplotag)
     return out
 
 

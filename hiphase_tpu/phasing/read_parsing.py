@@ -366,12 +366,17 @@ def _realign_block_native(bam, phase_problem, pack, joint_stats,
         if out is None:
             return False
         alleles2d, quals2d, noverlap, stats = out
-        for i in np.flatnonzero(noverlap > 0):
+        rows = np.flatnonzero(noverlap > 0)
+        names = []
+        for i in rows:
             off = int(rec_off[i])
             l_name = int(raw[off + 8])
-            name = raw[off + 32:off + 32 + l_name - 1].tobytes().decode()
-            read_groups.setdefault(name, []).append(
-                ReadSegment.new(name, alleles2d[i], quals2d[i]))
+            names.append(raw[off + 32:off + 32 + l_name - 1].tobytes()
+                         .decode())
+        from hiphase_tpu.core.read_segments import read_segments_from_rows
+        for name, seg in zip(names, read_segments_from_rows(
+                names, alleles2d, quals2d, rows)):
+            read_groups.setdefault(name, []).append(seg)
         nt = stats[:55].reshape(5, 11)
         joint_stats.failed_matches += nt[0].astype(np.uint64)
         joint_stats.exact_matches += nt[1].astype(np.uint64)

@@ -1562,6 +1562,10 @@ struct Active {
 
 // Solve one block at a single beam width. Returns false when nv is too
 // large for the packed 64-bit ranking key at this width (caller falls back).
+//
+// State layout is [slot][beam] (transposed): per-slot rows are contiguous
+// over the beam axis, so the fold, candidate-delta, and survivor-gather
+// loops all vectorize; only slots with a live read are touched.
 static bool solve_one(const BlockIn& in, int32_t W, uint8_t* h1, uint8_t* h2,
                       SolveOut* out) {
   const int32_t nv = in.nv;
@@ -1577,9 +1581,12 @@ static bool solve_one(const BlockIn& in, int32_t W, uint8_t* h1, uint8_t* h2,
   std::vector<int32_t> order, slot_of;
   const int32_t S = assign_slots(in, &order, &slot_of);
 
-  // Per-column active lists (CSC layout) and fold events.
+  // Per-column active lists (CSC layout), fold events, and start events
+  // (slot liveness: a slot is live between its first occupant's start and
+  // its last fold; dead rows are all-zero and skipped).
   std::vector<int32_t> col_cnt(nv + 1, 0);
   std::vector<int32_t> fold_cnt(nv + 1, 0);
+  std::vector<int32_t> start_cnt(nv + 1, 0);
   for (int32_t i = 0; i < in.n_reads; ++i) {
     int32_t st = in.seg_start[i];
     int64_t o0 = in.seg_off[i], o1 = in.seg_off[i + 1];
@@ -1589,17 +1596,22 @@ static bool solve_one(const BlockIn& in, int32_t W, uint8_t* h1, uint8_t* h2,
     }
     int32_t end = st + static_cast<int32_t>(o1 - o0);
     if (end < nv) ++fold_cnt[end];
+    ++start_cnt[st];
   }
-  std::vector<int32_t> col_off(nv + 1, 0), fold_off(nv + 1, 0);
+  std::vector<int32_t> col_off(nv + 1, 0), fold_off(nv + 1, 0),
+      start_off(nv + 1, 0);
   for (int32_t j = 0; j < nv; ++j) {
     col_off[j + 1] = col_off[j] + col_cnt[j];
     fold_off[j + 1] = fold_off[j] + fold_cnt[j];
+    start_off[j + 1] = start_off[j] + start_cnt[j];
   }
   std::vector<Active> active(col_off[nv]);
   std::vector<int32_t> folds(fold_off[nv]);
+  std::vector<int32_t> starts(start_off[nv]);
   {
     std::vector<int32_t> cfill(col_off.begin(), col_off.end() - 1);
     std::vector<int32_t> ffill(fold_off.begin(), fold_off.end() - 1);
+    std::vector<int32_t> sfill(start_off.begin(), start_off.end() - 1);
     for (int32_t i = 0; i < in.n_reads; ++i) {
       int32_t st = in.seg_start[i];
       int32_t s = slot_of[i];
@@ -1614,50 +1626,77 @@ static bool solve_one(const BlockIn& in, int32_t W, uint8_t* h1, uint8_t* h2,
       }
       int32_t end = st + static_cast<int32_t>(o1 - o0);
       if (end < nv) folds[ffill[end]++] = s;
+      starts[sfill[st]++] = s;
     }
   }
 
-  // Beam state (double-buffered): per entry, per-slot running costs plus
-  // scalar (frozen, fluid, cost, hets, identical).
-  std::vector<int32_t> c1(static_cast<size_t>(W) * S, 0);
-  std::vector<int32_t> c2(static_cast<size_t>(W) * S, 0);
-  std::vector<int32_t> c1n(static_cast<size_t>(W) * S);
-  std::vector<int32_t> c2n(static_cast<size_t>(W) * S);
+  // Beam state, [slot][beam] transposed, double-buffered.
+  std::vector<int32_t> c1(static_cast<size_t>(S) * W, 0);
+  std::vector<int32_t> c2(static_cast<size_t>(S) * W, 0);
+  std::vector<int32_t> c1n(static_cast<size_t>(S) * W);
+  std::vector<int32_t> c2n(static_cast<size_t>(S) * W);
   std::vector<int32_t> frozen(W, 0), fluid(W, 0), cost(W, 0), hets(W, 0);
   std::vector<int32_t> frozen_n(W), fluid_n(W), cost_n(W), hets_n(W);
   std::vector<uint8_t> ident(W, 1), ident_n(W);
   int32_t n_beam = 1;
 
+  std::vector<uint8_t> slot_live(S, 0);
+  std::vector<int32_t> live;  // live slot list (unordered)
+  live.reserve(S);
+  std::vector<uint8_t> slot_active(S, 0);
+  std::vector<int32_t> slot_dA(S, 0), slot_dB(S, 0);
+
   std::vector<int16_t> parents(static_cast<size_t>(nv) * W);
   std::vector<uint8_t> choices(static_cast<size_t>(nv) * W);
   std::vector<int32_t> prune_cnt(nv, 0), prune_min(nv, 0);
 
-  // candidate scratch: ranking keys, exactly the device's two sort operands
-  // concatenated: cost<<32 | (nv - hets)<<shift | (parent*4 + choice)
   std::vector<uint64_t> keys(static_cast<size_t>(W) * 4);
+  std::vector<int32_t> d0(W), d1(W), d2(W), d3(W);
+  std::vector<int16_t> sel_par(W);
+  std::vector<uint8_t> sel_cho(W);
 
-  // choice c: haplotype-1 allele a1 = c&1; haplotype-2 a2 = 1-((c&1)^(c>>1));
-  // deltas vs (dA, dB): c0: (dA,dB)  c1: (dB,dA)  c2: (dA,dA)  c3: (dB,dB)
   for (int32_t j = 0; j < nv; ++j) {
     int16_t* par_j = parents.data() + static_cast<size_t>(j) * W;
     uint8_t* cho_j = choices.data() + static_cast<size_t>(j) * W;
-    // fold finished reads' slots into the frozen cost
-    for (int32_t fi = fold_off[j]; fi < fold_off[j + 1]; ++fi) {
-      int32_t s = folds[fi];
-      for (int32_t w = 0; w < n_beam; ++w) {
-        int32_t* r1 = &c1[static_cast<size_t>(w) * S + s];
-        int32_t* r2 = &c2[static_cast<size_t>(w) * S + s];
-        int32_t m = std::min(*r1, *r2);
-        frozen[w] += m;
-        fluid[w] -= m;
-        *r1 = 0;
-        *r2 = 0;
+    // slots whose occupant starts here become live; a dead->live row may
+    // hold stale values from a previous occupancy epoch (the fold only
+    // zeroed the then-current buffer), so clear it on revival. Handoff
+    // slots (fold and start at the same column) stay live and keep their
+    // data for the fold below.
+    for (int32_t si = start_off[j]; si < start_off[j + 1]; ++si) {
+      int32_t s = starts[si];
+      if (!slot_live[s]) {
+        slot_live[s] = 1;
+        live.push_back(s);
+        std::memset(&c1[static_cast<size_t>(s) * W], 0, sizeof(int32_t) * W);
+        std::memset(&c2[static_cast<size_t>(s) * W], 0, sizeof(int32_t) * W);
       }
     }
+    // fold finished reads' slots into the frozen cost (vector ops per row)
+    for (int32_t fi = fold_off[j]; fi < fold_off[j + 1]; ++fi) {
+      int32_t s = folds[fi];
+      int32_t* r1 = &c1[static_cast<size_t>(s) * W];
+      int32_t* r2 = &c2[static_cast<size_t>(s) * W];
+      for (int32_t w = 0; w < n_beam; ++w) {
+        int32_t m = std::min(r1[w], r2[w]);
+        frozen[w] += m;
+        fluid[w] -= m;
+      }
+      std::memset(r1, 0, sizeof(int32_t) * n_beam);
+      std::memset(r2, 0, sizeof(int32_t) * n_beam);
+      // remove from live unless another occupant starts at this column
+      slot_live[s] = 0;
+    }
+    if (fold_off[j] != fold_off[j + 1]) {
+      // re-add slots whose next occupant starts exactly here
+      for (int32_t si = start_off[j]; si < start_off[j + 1]; ++si)
+        slot_live[starts[si]] = 1;
+      live.erase(std::remove_if(live.begin(), live.end(),
+                                [&](int32_t s) { return !slot_live[s]; }),
+                 live.end());
+    }
+
     if (in.skip[j]) {
-      // ignored column: each entry extends once as Ambiguous/Ambiguous at
-      // unchanged cost; the beam is already in ranked order, so selection
-      // is the identity permutation
       for (int32_t w = 0; w < n_beam; ++w) {
         par_j[w] = static_cast<int16_t>(w);
         cho_j[w] = 0;
@@ -1666,34 +1705,41 @@ static bool solve_one(const BlockIn& in, int32_t W, uint8_t* h1, uint8_t* h2,
       continue;
     }
 
+    // candidate deltas, accumulated per active slot over the beam axis
+    std::memset(d0.data(), 0, sizeof(int32_t) * n_beam);
+    std::memset(d1.data(), 0, sizeof(int32_t) * n_beam);
+    std::memset(d2.data(), 0, sizeof(int32_t) * n_beam);
+    std::memset(d3.data(), 0, sizeof(int32_t) * n_beam);
+    for (int32_t ai = col_off[j]; ai < col_off[j + 1]; ++ai) {
+      const Active& a = active[ai];
+      const int32_t* r1 = &c1[static_cast<size_t>(a.slot) * W];
+      const int32_t* r2 = &c2[static_cast<size_t>(a.slot) * W];
+      const int32_t dA = a.dA, dB = a.dB;
+      for (int32_t w = 0; w < n_beam; ++w) {
+        int32_t x1 = r1[w], x2 = r2[w];
+        int32_t m = std::min(x1, x2);
+        d0[w] += std::min(x1 + dA, x2 + dB) - m;
+        d1[w] += std::min(x1 + dB, x2 + dA) - m;
+        d2[w] += std::min(x1 + dA, x2 + dA) - m;
+        d3[w] += std::min(x1 + dB, x2 + dB) - m;
+      }
+    }
+
     int32_t n_cand = 0;
     for (int32_t w = 0; w < n_beam; ++w) {
-      const int32_t* r1 = &c1[static_cast<size_t>(w) * S];
-      const int32_t* r2 = &c2[static_cast<size_t>(w) * S];
-      int32_t d0 = 0, d1 = 0, d2 = 0, d3 = 0;
-      for (int32_t ai = col_off[j]; ai < col_off[j + 1]; ++ai) {
-        const Active& a = active[ai];
-        int32_t x1 = r1[a.slot], x2 = r2[a.slot];
-        int32_t m = std::min(x1, x2);
-        d0 += std::min(x1 + a.dA, x2 + a.dB) - m;
-        d1 += std::min(x1 + a.dB, x2 + a.dA) - m;
-        d2 += std::min(x1 + a.dA, x2 + a.dA) - m;
-        d3 += std::min(x1 + a.dB, x2 + a.dB) - m;
-      }
       int32_t base = frozen[w] + fluid[w];
-      uint64_t hetp1 =
-          static_cast<uint64_t>(nv - (hets[w] + 1)) << shift;  // het children
+      uint64_t hetp1 = static_cast<uint64_t>(nv - (hets[w] + 1)) << shift;
       uint64_t het0 = static_cast<uint64_t>(nv - hets[w]) << shift;
       uint64_t ord = static_cast<uint64_t>(w) * 4;
       keys[n_cand++] =
-          (static_cast<uint64_t>(base + d0) << 32) | hetp1 | (ord + 0);
+          (static_cast<uint64_t>(base + d0[w]) << 32) | hetp1 | (ord + 0);
       if (!ident[w])
         keys[n_cand++] =
-            (static_cast<uint64_t>(base + d1) << 32) | hetp1 | (ord + 1);
+            (static_cast<uint64_t>(base + d1[w]) << 32) | hetp1 | (ord + 1);
       keys[n_cand++] =
-          (static_cast<uint64_t>(base + d2) << 32) | het0 | (ord + 2);
+          (static_cast<uint64_t>(base + d2[w]) << 32) | het0 | (ord + 2);
       keys[n_cand++] =
-          (static_cast<uint64_t>(base + d3) << 32) | het0 | (ord + 3);
+          (static_cast<uint64_t>(base + d3[w]) << 32) | het0 | (ord + 3);
     }
     out->expansions += n_cand;
 
@@ -1712,24 +1758,48 @@ static bool solve_one(const BlockIn& in, int32_t W, uint8_t* h1, uint8_t* h2,
       int32_t p = flat >> 2, c = flat & 3;
       par_j[i] = static_cast<int16_t>(p);
       cho_j[i] = static_cast<uint8_t>(c);
+      sel_par[i] = static_cast<int16_t>(p);
+      sel_cho[i] = static_cast<uint8_t>(c);
       int32_t new_cost = static_cast<int32_t>(k >> 32);
       cost_n[i] = new_cost;
       frozen_n[i] = frozen[p];
       fluid_n[i] = new_cost - frozen[p];
       hets_n[i] = hets[p] + (c < 2 ? 1 : 0);
       ident_n[i] = ident[p] & (c >> 1);
-      int32_t* dst1 = &c1n[static_cast<size_t>(i) * S];
-      int32_t* dst2 = &c2n[static_cast<size_t>(i) * S];
-      const int32_t* src1 = &c1[static_cast<size_t>(p) * S];
-      const int32_t* src2 = &c2[static_cast<size_t>(p) * S];
-      std::memcpy(dst1, src1, sizeof(int32_t) * S);
-      std::memcpy(dst2, src2, sizeof(int32_t) * S);
-      for (int32_t ai = col_off[j]; ai < col_off[j + 1]; ++ai) {
-        const Active& a = active[ai];
-        // per-choice deltas: see table above
-        dst1[a.slot] += (c & 1) ? a.dB : a.dA;
-        dst2[a.slot] += ((c == 0) | (c == 3)) ? a.dB : a.dA;
+    }
+    // survivor gather per live slot row (contiguous writes)
+    for (int32_t s : live) slot_active[s] = 0;
+    for (int32_t ai = col_off[j]; ai < col_off[j + 1]; ++ai) {
+      const Active& a = active[ai];
+      slot_active[a.slot] = 1;
+      slot_dA[a.slot] = a.dA;
+      slot_dB[a.slot] = a.dB;
+    }
+    for (int32_t s : live) {
+      const int32_t* src1 = &c1[static_cast<size_t>(s) * W];
+      const int32_t* src2 = &c2[static_cast<size_t>(s) * W];
+      int32_t* dst1 = &c1n[static_cast<size_t>(s) * W];
+      int32_t* dst2 = &c2n[static_cast<size_t>(s) * W];
+      if (slot_active[s]) {
+        const int32_t dA = slot_dA[s], dB = slot_dB[s];
+        for (int32_t i = 0; i < n_keep; ++i) {
+          int32_t p = sel_par[i];
+          int32_t c = sel_cho[i];
+          // haplotype-1 delta: a1(c) = c&1 -> dA when a1==0 else dB
+          // haplotype-2 delta: a2(c)=1-((c&1)^(c>>1)) -> dA when a2==0
+          dst1[i] = src1[p] + ((c & 1) ? dB : dA);
+          dst2[i] = src2[p] + (((c == 0) | (c == 3)) ? dB : dA);
+        }
+      } else {
+        for (int32_t i = 0; i < n_keep; ++i) {
+          int32_t p = sel_par[i];
+          dst1[i] = src1[p];
+          dst2[i] = src2[p];
+        }
       }
+      // grown beam: clear the remainder so a later fold of this slot only
+      // sees valid entries (entries >= n_keep are never read as parents,
+      // but fold sums over n_beam of the NEXT step = n_keep)
     }
     n_beam = n_keep;
     c1.swap(c1n);
@@ -1748,7 +1818,6 @@ static bool solve_one(const BlockIn& in, int32_t W, uint8_t* h1, uint8_t* h2,
     if (prune_cnt[j] > 0 && prune_min[j] <= out->cost)
       out->pruned += prune_cnt[j];
   }
-  // backtrace from the best entry (index 0 of the final ranked beam)
   int32_t slot = 0;
   for (int32_t j = nv - 1; j >= 0; --j) {
     uint8_t c = choices[static_cast<size_t>(j) * W + slot];
@@ -1814,14 +1883,18 @@ int32_t hn_beam_solve_batch(
       failed.store(1);
       return;
     }
+    // blocks whose fast-width result is not provably optimal re-solve at
+    // the full queue-size width directly (measured: blocks that prune at
+    // the fast width almost always still prune at intermediate widths, so
+    // a ladder of rungs only adds work)
     if (out.pruned > 0 && full_width > fast_width) {
-      beam_native::SolveOut out2;
-      out2.expansions = out.expansions;
-      if (!beam_native::solve_one(in, full_width, bh1, bh2, &out2)) {
+      beam_native::SolveOut next;
+      next.expansions = out.expansions;
+      if (!beam_native::solve_one(in, full_width, bh1, bh2, &next)) {
         failed.store(1);
         return;
       }
-      out = out2;
+      out = next;
     }
     cost[b] = out.cost;
     hets[b] = out.hets;
