@@ -477,19 +477,28 @@ def _main(argv=None) -> int:
             device_solver = native_solver
         if multihost:
             # every host walks the SAME global stream (the collective
-            # cadence must line up), solves its round-robin shard, and
-            # replays results to host 0's writers
+            # cadence must line up), solves its round-robin shard on the
+            # threaded prepare pipeline, and replays results to host 0's
+            # writers; other hosts' blocks flow through as 'skip' so the
+            # tick cadence stays identical on every process
             from hiphase_tpu.parallel.multihost import (
                 ResultReplay, blocks_for_host)
 
+            def classify_mh(block):
+                if not should_solve(block):
+                    return "unphased"
+                return ("solve" if blocks_for_host(block.block_index)
+                        else "skip")
+
             replay = ResultReplay()
-            for block in windowed(block_iterator):
-                if should_solve(block):
-                    if blocks_for_host(block.block_index):
-                        for pr, hr in device_solver.submit(prepare_fn(block)):
-                            replay.stash((pr, hr))
-                elif is_writer_host:
-                    emit(*create_unphased_result(block))
+            for kind, item in iter_prepared(windowed(block_iterator),
+                                            prepare_fn, classify_mh,
+                                            threads=args.threads):
+                if kind == "solve":
+                    for pr, hr in device_solver.submit(item):
+                        replay.stash((pr, hr))
+                elif kind == "unphased" and is_writer_host:
+                    emit(*create_unphased_result(item))
                 for pr, hr in replay.tick():
                     emit(pr, hr)
             for pr, hr in device_solver.drain():
@@ -497,11 +506,10 @@ def _main(argv=None) -> int:
             for pr, hr in replay.finish():
                 emit(pr, hr)
         else:
-            for kind, item in iter_prepared(windowed(block_iterator),
-                                            prepare_fn,
-                                            create_unphased_result,
-                                            should_solve,
-                                            threads=args.threads):
+            for kind, item in iter_prepared(
+                    windowed(block_iterator), prepare_fn,
+                    lambda b: "solve" if should_solve(b) else "unphased",
+                    threads=args.threads):
                 if kind == "unphased":
                     emit(*create_unphased_result(item))
                 else:

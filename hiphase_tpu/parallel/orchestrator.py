@@ -272,27 +272,31 @@ class BatchedDeviceSolver:
         return out
 
 
-def iter_prepared(block_iterator, prepare_fn, unphased_fn, should_solve,
+def iter_prepared(block_iterator, prepare_fn, classify,
                   threads: int = 1, window: int = 40):
-    """Yield ('solve', BlockData) or ('unphased', block) preserving stream
-    order, preparing up to ``window × threads`` blocks ahead on a pool
-    (the reference's 40×threads in-flight backpressure, ref: main.rs:328)."""
+    """Yield (kind, item) per block preserving stream order, preparing up
+    to ``window × threads`` blocks ahead on a pool (the reference's
+    40×threads in-flight backpressure, ref: main.rs:328).
+
+    ``classify(block)`` returns 'solve' (item = prepare_fn(block)),
+    'unphased', or 'skip' (item = the block itself — multi-host streams
+    use 'skip' for blocks assigned to other hosts, which still must flow
+    through so the collective cadence lines up)."""
     if threads <= 1:
         for block in block_iterator:
-            if should_solve(block):
-                yield ("solve", prepare_fn(block))
-            else:
-                yield ("unphased", block)
+            kind = classify(block)
+            yield (kind, prepare_fn(block) if kind == "solve" else block)
         return
 
     max_inflight = window * threads
     with ThreadPoolExecutor(max_workers=threads) as pool:
-        inflight = []  # list of ('solve', future) | ('unphased', block)
+        inflight = []  # list of (kind, future-or-block)
         for block in block_iterator:
-            if should_solve(block):
+            kind = classify(block)
+            if kind == "solve":
                 inflight.append(("solve", pool.submit(prepare_fn, block)))
             else:
-                inflight.append(("unphased", block))
+                inflight.append((kind, block))
             while len(inflight) >= max_inflight:
                 kind, item = inflight.pop(0)
                 yield (kind, item.result() if kind == "solve" else item)
