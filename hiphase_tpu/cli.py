@@ -626,4 +626,10 @@ def _main(argv=None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = main()
+    # hard exit: a probe thread stranded inside a hung device backend can
+    # abort interpreter teardown after all work is done and all outputs are
+    # closed; the exit code must reflect the run, not the teardown
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)

@@ -37,6 +37,8 @@ def _run(tmp_path, engine: str):
             "--blocks-file", str(tmp_path / f"{engine}.blocks.tsv")]
     if engine == "tpu":
         argv += ["--engine", "tpu", "--batch-size", "8"]
+    else:
+        argv += ["--engine", engine]
     assert cli_main(argv) == 0
     return out_vcf, out_bam, str(tmp_path / f"{engine}.blocks.tsv")
 
@@ -60,8 +62,13 @@ def _normalize(out_vcf, out_bam, blocks_file) -> dict:
             bam_lines.append(
                 f"{rec.read_name}\t{rec.refid}\t{rec.pos}\t"
                 f"{rec.get_tag('HP')}\t{rec.get_tag('PS')}")
+    # full-record fidelity: every byte of every output record (QUAL, INFO,
+    # FILTER, untouched FORMAT fields must pass through unchanged)
+    vcf_full = [b"\t".join(rec.fields).decode()
+                for rec in VcfReader(out_vcf)]
     blocks = pathlib.Path(blocks_file).read_text().splitlines()
-    return {"vcf": vcf_lines, "bam": bam_lines, "blocks": blocks}
+    return {"vcf": vcf_lines, "vcf_full": vcf_full, "bam": bam_lines,
+            "blocks": blocks}
 
 
 def _digest(norm: dict) -> str:
@@ -75,6 +82,8 @@ def test_golden_outputs(tmp_path):
     assert len(out["vcf"]) == len(golden["norm"]["vcf"])
     for got, want in zip(out["vcf"], golden["norm"]["vcf"]):
         assert got == want, f"VCF drift: {got!r} != {want!r}"
+    for got, want in zip(out["vcf_full"], golden["norm"]["vcf_full"]):
+        assert got == want, f"record passthrough drift: {got!r} != {want!r}"
     assert out["bam"] == golden["norm"]["bam"], "haplotag drift"
     assert out["blocks"] == golden["norm"]["blocks"], "phase-block drift"
     assert _digest(out) == golden["sha256"]
