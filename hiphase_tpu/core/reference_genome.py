@@ -30,21 +30,36 @@ class ReferenceGenome:
         return rg
 
     def _load(self, filename: str) -> None:
+        """Bulk-vectorized parse: a 3 Gb genome is a few numpy passes, not
+        ~40M Python line iterations (the reference loads the same data in
+        ~20 s via Rust; this takes a comparable few seconds)."""
+        import numpy as np
+
         opener = gzip.open if filename.endswith(".gz") else open
-        name = None
-        chunks: list[bytes] = []
         with opener(filename, "rb") as fh:
-            for line in fh:
-                line = line.rstrip()
-                if line.startswith(b">"):
-                    if name is not None:
-                        self._contigs[name] = b"".join(chunks).upper()
-                    name = line[1:].split()[0].decode()
-                    chunks = []
-                else:
-                    chunks.append(line)
-        if name is not None:
-            self._contigs[name] = b"".join(chunks).upper()
+            data = fh.read()
+        arr = np.frombuffer(data, dtype=np.uint8)
+        if len(arr) == 0:
+            return
+        # line starts: offset 0 plus after every newline
+        nl = np.flatnonzero(arr == 10)
+        line_starts = np.concatenate(([0], nl + 1))
+        line_starts = line_starts[line_starts < len(arr)]
+        header_starts = line_starts[arr[line_starts] == ord(">")]
+        bounds = np.concatenate((header_starts, [len(arr)]))
+        for k in range(len(header_starts)):
+            h0 = int(bounds[k])
+            h_end = data.find(b"\n", h0)
+            if h_end < 0:
+                h_end = len(data)
+            name = data[h0 + 1:h_end].split()[0].decode()
+            region = arr[h_end + 1:int(bounds[k + 1])]
+            seq = region[(region != 10) & (region != 13)]
+            # uppercase a-z in place of Python .upper() over gigabytes
+            lower = (seq >= 97) & (seq <= 122)
+            if lower.any():
+                seq = np.where(lower, seq - 32, seq)
+            self._contigs[name] = seq.tobytes()
 
     def contig_keys(self) -> list[str]:
         """Contig names in file order (ref: reference_genome.rs:65)."""

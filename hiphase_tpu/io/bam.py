@@ -636,6 +636,27 @@ class BamWriter:
 
     def write_index(self) -> None:
         assert self._closed, "close the BAM before writing its index"
+        if max(self.header.ref_lengths, default=0) >= (1 << 29) - 1:
+            # BAI cannot address contigs >= 2^29-1; emit .csi instead
+            # (htslib makes the same switch)
+            from hiphase_tpu.io.tabix import TabixBuilder, depth_for
+            ml = max(self.header.ref_lengths, default=0)
+            tb = TabixBuilder(min_shift=14, depth=depth_for(ml))
+            for refid, beg, end, ubeg, uend, mapped in self._entries:
+                if refid < 0 or not mapped:
+                    continue
+                tb.add(str(refid), beg, end, self._bgzf.voffset(ubeg),
+                       self._bgzf.voffset(uend))
+            idx = tb.build()
+            n_ref = len(self.header.ref_names)
+            bins = [dict() for _ in range(n_ref)]
+            linear = [[] for _ in range(n_ref)]
+            for i, nm in enumerate(idx.names):
+                bins[int(nm)] = idx.bins[i]
+                linear[int(nm)] = idx.linear[i]
+            idx.names, idx.bins, idx.linear = [], bins, linear
+            idx.save_csi(self.path + ".csi")
+            return
         bai = BaiBuilder(len(self.header.ref_names))
         for refid, beg, end, ubeg, uend, mapped in self._entries:
             bai.add(refid, beg, end, self._bgzf.voffset(ubeg),

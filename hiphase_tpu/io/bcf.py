@@ -616,9 +616,10 @@ class BcfWriter:
         self._closed = True
 
     def write_index(self) -> None:
-        from hiphase_tpu.io.tabix import TabixBuilder
+        from hiphase_tpu.io.tabix import TabixBuilder, depth_for
         assert self._closed
-        tb = TabixBuilder(min_shift=14, depth=5)
+        max_end = max((e for _r, _b, e, _u, _v in self._entries), default=0)
+        tb = TabixBuilder(min_shift=14, depth=depth_for(max_end))
         # upos -> virtual offsets via the writer's block table
         for rid, beg, end, ubeg, uend in self._entries:
             tb.add(str(rid), beg, end, self._bgzf.voffset(ubeg),

@@ -212,6 +212,15 @@ class TabixIndex:
             bz.write(bytes(out))
 
 
+def depth_for(max_end: int, min_shift: int = 14) -> int:
+    """Smallest bin-tree depth addressing positions up to ``max_end``
+    (depth 5 covers 2^29; long contigs need 6+ — htslib's CSI switch)."""
+    depth = 5
+    while max_end > (1 << (min_shift + 3 * depth)) and depth < 10:
+        depth += 1
+    return depth
+
+
 class TabixBuilder:
     """Accumulates (name, beg, end, vbeg, vend) per record to build an index."""
 

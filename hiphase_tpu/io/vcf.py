@@ -389,7 +389,9 @@ class VcfWriter:
         if self._bcf is not None:
             self._bcf.write_index()
             return
-        tabix = TabixBuilder()
+        from hiphase_tpu.io.tabix import depth_for
+        max_end = max((e for _c, _b, e, _u, _v in self._entries), default=0)
+        tabix = TabixBuilder(depth=depth_for(max_end))
         for chrom, beg, end, ubeg, uend in self._entries:
             tabix.add(chrom, beg, end, self._bgzf.voffset(ubeg),
                       self._bgzf.voffset(uend))

@@ -266,3 +266,32 @@ def test_bam_opens_with_csi_only_index(tmp_path):
         assert rd._index is not None
         got = [(r.read_name, r.pos) for r in rd.fetch("c1", 5000, 9000)]
     assert got == expected
+
+
+def test_bam_writer_emits_csi_for_long_contigs(tmp_path):
+    """Contigs >= 2^29-1 cannot be BAI-indexed; the writer must emit .csi
+    (htslib's switch) and region fetch must work beyond 2^29."""
+    import os
+
+    from hiphase_tpu.io.bam import BamReader, BamWriter, SamHeader
+
+    from tests.sim import make_bam_record
+
+    L = (1 << 29) + 200_000
+    header = SamHeader("@HD\tVN:1.6\tSO:coordinate\n"
+                       "@RG\tID:rg1\tSM:S\n", ["big"], [L])
+    path = str(tmp_path / "long.bam")
+    w = BamWriter(path, header)
+    positions = [100, (1 << 29) - 50, (1 << 29) + 100_000]
+    for k, pos in enumerate(positions):
+        w.write(make_bam_record(f"r{k}", 0, pos, b"ACGT" * 10,
+                                [("M", 40)], tags=b"RGZrg1\x00"))
+    w.close()
+    w.write_index()
+    assert not os.path.exists(path + ".bai")
+    assert os.path.exists(path + ".csi")
+    with BamReader(path) as rd:
+        got = [r.read_name for r in rd.fetch("big", (1 << 29), L)]
+        assert got == ["r2"]
+        got_all = [r.read_name for r in rd.fetch("big", 0, L)]
+        assert got_all == ["r0", "r1", "r2"]
