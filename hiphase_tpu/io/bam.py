@@ -275,6 +275,28 @@ def open_alignment(path: str):
     return BamReader(path)
 
 
+_READER_TLS = None
+
+
+def cached_alignment(path: str):
+    """Thread-local reader cache for the per-block prepare path: reader
+    construction re-parses the whole index (the reference's workers reuse
+    per-thread htslib readers the same way, ref: phaser.rs:43-45). Readers
+    are not thread-safe, hence thread-local; never close the returned
+    reader."""
+    global _READER_TLS
+    if _READER_TLS is None:
+        import threading
+        _READER_TLS = threading.local()
+    cache = getattr(_READER_TLS, "readers", None)
+    if cache is None:
+        cache = _READER_TLS.readers = {}
+    rd = cache.get(path)
+    if rd is None:
+        rd = cache[path] = open_alignment(path)
+    return rd
+
+
 class BamReader:
     """Indexed BAM reader. ``fetch(chrom, start, end)`` uses the BAI index
     when present; falls back to a full scan for index-less small files."""

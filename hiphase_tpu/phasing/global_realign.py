@@ -20,7 +20,7 @@ from hiphase_tpu.align.wfa_graph import WFAGraph, WFAGraphError
 from hiphase_tpu.core.read_segments import ReadSegment, collapse_read_segments
 from hiphase_tpu.core.reference_genome import ReferenceGenome
 from hiphase_tpu.core.variants import Variant, VariantType
-from hiphase_tpu.io.bam import BamRecord, open_alignment
+from hiphase_tpu.io.bam import BamRecord, cached_alignment
 from hiphase_tpu.phasing.block_gen import PhaseBlock, filter_out_alignment_record
 from hiphase_tpu.phasing.read_parsing import (
     GlobalRealignmentConfig, INDEL_QUAL, SNV_QUAL, SV_INDEL_QUAL, TR_QUAL,
@@ -436,23 +436,23 @@ def load_full_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
         chrom_seq = reference_genome.get_full_chromosome(phase_problem.chrom)
         batched_ok = True
         for bam_path in bam_paths:
-            with open_alignment(bam_path) as bam:
-                chunks = bam.fetch_raw(phase_problem.chrom,
-                                       phase_problem.start,
-                                       phase_problem.end + 1, min_mapq)
-                if chunks is None:
+            bam = cached_alignment(bam_path)
+            chunks = bam.fetch_raw(phase_problem.chrom,
+                                   phase_problem.start,
+                                   phase_problem.end + 1, min_mapq)
+            if chunks is None:
+                batched_ok = False
+                break
+            for raw, rec_off, rec_size in chunks:
+                if not _global_batch_chunk(
+                        raw, rec_off, rec_size, phase_problem,
+                        variant_calls, hom_calls, reference_genome,
+                        config, wfa_pack, local_pack, chrom_seq, ladder,
+                        read_groups, joint_stats):
                     batched_ok = False
                     break
-                for raw, rec_off, rec_size in chunks:
-                    if not _global_batch_chunk(
-                            raw, rec_off, rec_size, phase_problem,
-                            variant_calls, hom_calls, reference_genome,
-                            config, wfa_pack, local_pack, chrom_seq, ladder,
-                            read_groups, joint_stats):
-                        batched_ok = False
-                        break
-                if not batched_ok:
-                    break
+            if not batched_ok:
+                break
         if batched_ok:
             return _finish_groups(read_groups, joint_stats,
                                   min_matched_alleles)
@@ -464,41 +464,41 @@ def load_full_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
     total_parsed = 0.0
 
     for bam_path in bam_paths:
-        with open_alignment(bam_path) as bam:
-            for read in bam.fetch(phase_problem.chrom, phase_problem.start,
-                                  phase_problem.end + 1):
-                if filter_out_alignment_record(read, min_mapq):
-                    continue
-                if global_disabled:
+        bam = cached_alignment(bam_path)
+        for read in bam.fetch(phase_problem.chrom, phase_problem.start,
+                              phase_problem.end + 1):
+            if filter_out_alignment_record(read, min_mapq):
+                continue
+            if global_disabled:
+                alleles, quals, read_stats = local_realignment(
+                    read, variant_calls, pack=local_pack)
+            else:
+                try:
+                    alleles, quals, read_stats, _score = global_realignment(
+                        phase_problem, read, variant_calls, hom_calls,
+                        reference_genome, config.wfa_prune_distance,
+                        config.max_edit_distance, wfa_pack=wfa_pack)
+                except WFAGraphError:
+                    logger.debug("Reverting to local re-alignment for %s...",
+                                 read.read_name)
                     alleles, quals, read_stats = local_realignment(
                         read, variant_calls, pack=local_pack)
-                else:
-                    try:
-                        alleles, quals, read_stats, _score = global_realignment(
-                            phase_problem, read, variant_calls, hom_calls,
-                            reference_genome, config.wfa_prune_distance,
-                            config.max_edit_distance, wfa_pack=wfa_pack)
-                    except WFAGraphError:
-                        logger.debug("Reverting to local re-alignment for %s...",
-                                     read.read_name)
-                        alleles, quals, read_stats = local_realignment(
-                            read, variant_calls, pack=local_pack)
 
-                if read_stats.skipped_reads == 0:
-                    read_groups.setdefault(read.read_name, []).append(
-                        ReadSegment.new(read.read_name, alleles, quals))
-                    assert read_stats.total_aligned() == 1
-                    num_global_failures += read_stats.local_aligned
-                    total_parsed += 1.0
-                    if (not global_disabled
-                            and num_global_failures >= config.global_failure_minimum
-                            and num_global_failures / total_parsed
-                            >= config.global_failure_ratio):
-                        global_disabled = True
-                        logger.info(
-                            "B#%d Detected broad global realignment failure, "
-                            "reverting to local for the rest of the block.",
-                            phase_problem.block_index)
-                joint_stats += read_stats
+            if read_stats.skipped_reads == 0:
+                read_groups.setdefault(read.read_name, []).append(
+                    ReadSegment.new(read.read_name, alleles, quals))
+                assert read_stats.total_aligned() == 1
+                num_global_failures += read_stats.local_aligned
+                total_parsed += 1.0
+                if (not global_disabled
+                        and num_global_failures >= config.global_failure_minimum
+                        and num_global_failures / total_parsed
+                        >= config.global_failure_ratio):
+                    global_disabled = True
+                    logger.info(
+                        "B#%d Detected broad global realignment failure, "
+                        "reverting to local for the rest of the block.",
+                        phase_problem.block_index)
+            joint_stats += read_stats
 
     return _finish_groups(read_groups, joint_stats, min_matched_alleles)

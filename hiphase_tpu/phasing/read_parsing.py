@@ -18,7 +18,7 @@ import numpy as np
 
 from hiphase_tpu.core.read_segments import ReadSegment, collapse_read_segments
 from hiphase_tpu.core.variants import AlleleType, Variant, VariantType
-from hiphase_tpu.io.bam import BamRecord, open_alignment
+from hiphase_tpu.io.bam import BamRecord, cached_alignment
 from hiphase_tpu.phasing.block_gen import PhaseBlock, filter_out_alignment_record
 from hiphase_tpu.writers.phase_stats import ReadStats
 
@@ -402,20 +402,20 @@ def load_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
     pack = build_variant_pack(variant_calls)
 
     for bam_path in bam_paths:
-        with open_alignment(bam_path) as bam:
-            if _realign_block_native(bam, phase_problem, pack, joint_stats,
-                                     read_groups, min_mapq):
+        bam = cached_alignment(bam_path)
+        if _realign_block_native(bam, phase_problem, pack, joint_stats,
+                                 read_groups, min_mapq):
+            continue
+        for read in bam.fetch(phase_problem.chrom, phase_problem.start,
+                              phase_problem.end + 1):
+            if filter_out_alignment_record(read, min_mapq):
                 continue
-            for read in bam.fetch(phase_problem.chrom, phase_problem.start,
-                                  phase_problem.end + 1):
-                if filter_out_alignment_record(read, min_mapq):
-                    continue
-                alleles, quals, read_stats = local_realignment(
-                    read, variant_calls, pack)
-                if read_stats.skipped_reads == 0:
-                    read_groups.setdefault(read.read_name, []).append(
-                        ReadSegment.new(read.read_name, alleles, quals))
-                joint_stats += read_stats
+            alleles, quals, read_stats = local_realignment(
+                read, variant_calls, pack)
+            if read_stats.skipped_reads == 0:
+                read_groups.setdefault(read.read_name, []).append(
+                    ReadSegment.new(read.read_name, alleles, quals))
+            joint_stats += read_stats
 
     read_segments: list[ReadSegment] = []
     phasable_segments: list[ReadSegment] = []

@@ -1710,18 +1710,24 @@ static bool solve_one(const BlockIn& in, int32_t W, uint8_t* h1, uint8_t* h2,
     std::memset(d1.data(), 0, sizeof(int32_t) * n_beam);
     std::memset(d2.data(), 0, sizeof(int32_t) * n_beam);
     std::memset(d3.data(), 0, sizeof(int32_t) * n_beam);
-    for (int32_t ai = col_off[j]; ai < col_off[j + 1]; ++ai) {
-      const Active& a = active[ai];
-      const int32_t* r1 = &c1[static_cast<size_t>(a.slot) * W];
-      const int32_t* r2 = &c2[static_cast<size_t>(a.slot) * W];
-      const int32_t dA = a.dA, dB = a.dB;
-      for (int32_t w = 0; w < n_beam; ++w) {
-        int32_t x1 = r1[w], x2 = r2[w];
-        int32_t m = std::min(x1, x2);
-        d0[w] += std::min(x1 + dA, x2 + dB) - m;
-        d1[w] += std::min(x1 + dB, x2 + dA) - m;
-        d2[w] += std::min(x1 + dA, x2 + dA) - m;
-        d3[w] += std::min(x1 + dB, x2 + dB) - m;
+    {
+      int32_t* __restrict p0 = d0.data();
+      int32_t* __restrict p1 = d1.data();
+      int32_t* __restrict p2 = d2.data();
+      int32_t* __restrict p3 = d3.data();
+      for (int32_t ai = col_off[j]; ai < col_off[j + 1]; ++ai) {
+        const Active& a = active[ai];
+        const int32_t* __restrict r1 = &c1[static_cast<size_t>(a.slot) * W];
+        const int32_t* __restrict r2 = &c2[static_cast<size_t>(a.slot) * W];
+        const int32_t dA = a.dA, dB = a.dB;
+        for (int32_t w = 0; w < n_beam; ++w) {
+          int32_t x1 = r1[w], x2 = r2[w];
+          int32_t m = std::min(x1, x2);
+          p0[w] += std::min(x1 + dA, x2 + dB) - m;
+          p1[w] += std::min(x1 + dB, x2 + dA) - m;
+          p2[w] += std::min(x1 + dA, x2 + dA) - m;
+          p3[w] += std::min(x1 + dB, x2 + dB) - m;
+        }
       }
     }
 
