@@ -291,9 +291,13 @@ def cached_alignment(path: str):
     cache = getattr(_READER_TLS, "readers", None)
     if cache is None:
         cache = _READER_TLS.readers = {}
-    rd = cache.get(path)
+    import os
+    key = (path, os.path.getmtime(path))
+    rd = cache.get(key)
     if rd is None:
-        rd = cache[path] = open_alignment(path)
+        if len(cache) > 64:  # stale entries from replaced files
+            cache.clear()
+        rd = cache[key] = open_alignment(path)
     return rd
 
 

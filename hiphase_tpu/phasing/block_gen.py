@@ -122,13 +122,21 @@ def get_sample_bams(bam_paths: list[str], sample_name: str) -> list[str]:
     out = []
     for path in bam_paths:
         with open_alignment(path) as bam:
-            samples = bam.header.samples()
-            if not samples:
+            read_groups = bam.header.read_groups()
+            if not read_groups:
                 raise BlockGenError(
-                    f"No sample name detected in read groups for {path}")
+                    f"BAM file has no read groups (RG) tag: {path}")
+            samples = set()
+            for rg in read_groups:
+                if "SM" not in rg:
+                    raise BlockGenError(
+                        "BAM file has read group with no sample name (SM) "
+                        f"tag: {path}")
+                samples.add(rg["SM"])
             if len(samples) > 1:
                 raise BlockGenError(
-                    f"Multiple sample names detected in read groups for {path}")
+                    "BAM file with multiple sample reads groups detected, "
+                    f"this is not supported: {path}")
             if sample_name in samples:
                 out.append(path)
     return out
