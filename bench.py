@@ -122,11 +122,9 @@ def main():
     bench_e2e.ensure_dataset(bench_e2e.build_args(["--mb", str(args.mb)]))
 
     base_cmd = [sys.executable, e2e, "--mb", str(args.mb)]
-    runs = []
-    for _ in range(1 + args.reps):
-        r = _run_json(base_cmd, timeout=1800)
-        if r is not None:
-            runs.append(r)
+    attempts = [_run_json(base_cmd, timeout=1800)
+                for _ in range(1 + args.reps)]
+    runs = [r for r in attempts if r is not None]
     if not runs:
         print(json.dumps({"metric": "e2e_phased_hets_per_sec", "value": 0,
                           "unit": "hets/s", "vs_baseline": 0,
@@ -134,7 +132,6 @@ def main():
         return 1
 
     times = [r["elapsed_s"] for r in runs]
-    run1 = times[0]
     warm_best = min(times[1:]) if len(times) > 1 else times[0]
     n_het = runs[0]["n_het"]
     hets_per_sec = n_het / warm_best
@@ -146,14 +143,22 @@ def main():
         "unit": "hets/s",
         "vs_baseline": round(hets_per_sec / BASELINE_HETS_PER_SEC, 3),
         "elapsed_s": [round(t, 2) for t in times],
-        "run1_s": round(run1, 2),
-        "warm_best_s": round(warm_best, 2),
-        "cold_over_warm": round(run1 / warm_best, 2),
         "n_het": n_het,
         "total_bp": runs[0]["total_bp"],
         "engine_resolved": best_run.get("engine"),
         "fresh_process_per_rep": True,
     }
+    # run 1 is the cold run; if it failed/timed out, say so — never label a
+    # warm rep as the cold number
+    if attempts[0] is not None:
+        run1 = attempts[0]["elapsed_s"]
+        out["run1_s"] = round(run1, 2)
+        out["warm_best_s"] = round(warm_best, 2)
+        out["cold_over_warm"] = round(run1 / warm_best, 2)
+    else:
+        out["run1_error"] = "cold run failed or timed out (>1800s)"
+    if len(runs) < len(attempts):
+        out["failed_reps"] = len(attempts) - len(runs)
     if best_run.get("node_expansions"):
         sol = best_run.get("solve_seconds") or 0
         out["e2e_node_expansions"] = best_run["node_expansions"]

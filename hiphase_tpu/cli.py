@@ -226,8 +226,11 @@ def _main(argv=None) -> int:
     # initialize the JAX backend, ~1-2 s) while the reference loads
     from concurrent.futures import ThreadPoolExecutor
     from hiphase_tpu.parallel.engine_select import choose_engine
-    engine_future = ThreadPoolExecutor(max_workers=1).submit(
-        choose_engine, args.engine)
+    _probe_pool = ThreadPoolExecutor(max_workers=1)
+    engine_future = _probe_pool.submit(choose_engine, args.engine)
+    # the worker exits once the probe resolves; without this, library
+    # callers invoking main() repeatedly would park a thread per run
+    _probe_pool.shutdown(wait=False)
 
     logger.info("Loading reference genome...")
     reference_genome = ReferenceGenome.from_fasta(args.reference)
@@ -346,6 +349,8 @@ def _main(argv=None) -> int:
     # these explain CPU distribution, not wall composition)
     stage_s = {"block_gen": 0.0, "prepare": 0.0, "solve": 0.0,
                "writer": 0.0}
+    import threading as _th
+    _stage_lock = _th.Lock()
     logger.info("Phase block generation starting...")
 
     def should_solve(block):
@@ -435,7 +440,9 @@ def _main(argv=None) -> int:
                     args.min_matched_alleles, args.min_mapping_quality,
                     global_config)
             finally:
-                stage_s["prepare"] += time.perf_counter() - t0
+                dt = time.perf_counter() - t0
+                with _stage_lock:  # float += is not atomic across threads
+                    stage_s["prepare"] += dt
 
         native_solver = NativeBeamSolver(
             beam_width=args.beam_width, batch_size=args.batch_size,

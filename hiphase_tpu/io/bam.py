@@ -288,14 +288,24 @@ def cached_alignment(path: str):
     if _READER_TLS is None:
         import threading
         _READER_TLS = threading.local()
-    cache = getattr(_READER_TLS, "readers", None)
-    if cache is None:
-        cache = _READER_TLS.readers = {}
     import os
+    pid = os.getpid()
+    if getattr(_READER_TLS, "pid", None) != pid:
+        # forked child inherited the parent's cache: the readers' file
+        # descriptors share one open file description (shared offset)
+        # across processes — never reuse them
+        _READER_TLS.readers = {}
+        _READER_TLS.pid = pid
+    cache = _READER_TLS.readers
     key = (path, os.path.getmtime(path))
     rd = cache.get(key)
     if rd is None:
         if len(cache) > 64:  # stale entries from replaced files
+            for old_rd in cache.values():
+                try:
+                    old_rd.close()
+                except Exception:
+                    pass
             cache.clear()
         rd = cache[key] = open_alignment(path)
     return rd
@@ -668,9 +678,10 @@ class BamWriter:
             from hiphase_tpu.io.tabix import TabixBuilder, depth_for
             ml = max(self.header.ref_lengths, default=0)
             tb = TabixBuilder(min_shift=14, depth=depth_for(ml))
-            for refid, beg, end, ubeg, uend, mapped in self._entries:
-                if refid < 0 or not mapped:
-                    continue
+            for refid, beg, end, ubeg, uend, _mapped in self._entries:
+                if refid < 0:
+                    continue  # unplaced: not binnable (BAI counts them too)
+                # placed-unmapped records are indexed like the BAI path
                 tb.add(str(refid), beg, end, self._bgzf.voffset(ubeg),
                        self._bgzf.voffset(uend))
             idx = tb.build()

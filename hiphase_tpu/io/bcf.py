@@ -212,17 +212,18 @@ def _typed_to_text(t: int, vals) -> bytes:
 
 def _gt_to_text(vals: list[int], width: int) -> bytes:
     parts = []
-    phased = False
     for k, v in enumerate(vals):
         if v == _EOV[width]:
             break
-        if v == 0 or v == _MISSING[width]:
+        if v == _MISSING[width]:
             a = b"."
         else:
-            a = b"%d" % ((v >> 1) - 1)
+            # allele index is (v>>1)-1; index 0 in the high bits means
+            # missing ('.'), independent of the phase bit (so '0|.' ->
+            # [2, 1] round-trips)
+            a = b"." if (v >> 1) == 0 else b"%d" % ((v >> 1) - 1)
         if k > 0:
             parts.append(b"|" if (v & 1) else b"/")
-        phased = phased or bool(v & 1)
         parts.append(a)
     return b"".join(parts)
 
@@ -387,20 +388,29 @@ def encode_record(line: bytes, contig_ids: dict[str, int],
     fmt_keys = f[8].split(b":") if len(f) > 8 and f[8] != b"." else []
     shared += struct.pack("<I", (len(alleles) << 16) | len(info_items))
     shared += struct.pack("<I", (len(fmt_keys) << 24) | n_samples)
+
+    def sid(key: bytes) -> int:
+        try:
+            return string_ids[key.decode()]
+        except KeyError:
+            raise BcfError(
+                f"key {key.decode()!r} is not declared in the header "
+                "(##INFO/##FORMAT/##FILTER definitions are required for "
+                "BCF output)")
+
     _write_typed_str(shared, b"" if f[2] == b"." else f[2])
     for a in alleles:
         _write_typed_str(shared, a)
     if f[6] == b".":
         _write_descriptor(shared, 1, 0)
     else:
-        _write_typed_int(
-            shared, [string_ids[x.decode()] for x in f[6].split(b";")])
+        _write_typed_int(shared, [sid(x) for x in f[6].split(b";")])
     for item in info_items:
         if b"=" in item:
             k, v = item.split(b"=", 1)
         else:
             k, v = item, None
-        _write_typed_int(shared, [string_ids[k.decode()]])
+        _write_typed_int(shared, [sid(k)])
         typ, _num = types.info.get(k, ("String", "."))
         if v is None:
             _write_descriptor(shared, 0, 0)
@@ -411,7 +421,7 @@ def encode_record(line: bytes, contig_ids: dict[str, int],
     if fmt_keys:
         sample_vals = [f[9 + s].split(b":") for s in range(n_samples)]
         for ki, key in enumerate(fmt_keys):
-            _write_typed_int(indiv, [string_ids[key.decode()]])
+            _write_typed_int(indiv, [sid(key)])
             col = [sv[ki] if ki < len(sv) else b"." for sv in sample_vals]
             if key == b"GT":
                 encoded = []
@@ -433,10 +443,13 @@ def encode_record(line: bytes, contig_ids: dict[str, int],
                                 token += bytes([ch])
                     encoded.append(es)
                 per = max(len(e) for e in encoded)
-                _write_descriptor(indiv, 1, per)
+                hi = max((max(e) for e in encoded if e), default=0)
+                t = 1 if hi <= 120 else (2 if hi <= 32000 else 3)
+                fmt_c = {1: "b", 2: "h", 3: "i"}[t]
+                _write_descriptor(indiv, t, per)
                 for es in encoded:
-                    es = es + [_EOV[1]] * (per - len(es))
-                    indiv += struct.pack(f"<{per}b", *es)
+                    es = es + [_EOV[t]] * (per - len(es))
+                    indiv += struct.pack(f"<{per}{fmt_c}", *es)
             else:
                 typ, _num = types.fmt.get(key, ("String", "."))
                 if typ == "Integer":
@@ -558,8 +571,9 @@ class BcfReader:
             with BgzfReader(self.path) as bz:
                 for cbeg, cend in chunks:
                     bz.seek_virtual(cbeg)
+                    it = self._iter_from(bz)
                     while bz.virtual_offset < cend:
-                        got = next(self._iter_from(bz), None)
+                        got = next(it, None)
                         if got is None:
                             break
                         line, r, p0 = got

@@ -42,9 +42,15 @@ class NativeBeamSolver:
     def __init__(self, beam_width: int | None = None, batch_size: int = 32,
                  min_queue_size: int = 1000, queue_increment: int = 3,
                  threads: int = 2, compute_estimates: bool = False):
+        # widths must match BatchedDeviceSolver exactly (mid-run engine
+        # switching relies on bit-identical results): an explicit
+        # --beam-width above the queue floor raises the full width too
         self.full_width = _pad_width(min_queue_size)
-        self.fast_width = min(FAST_WIDTH if beam_width is None
-                              else _pad_width(beam_width), self.full_width)
+        if beam_width is None:
+            self.fast_width = min(FAST_WIDTH, self.full_width)
+        else:
+            self.fast_width = _pad_width(beam_width)
+            self.full_width = max(self.full_width, self.fast_width)
         self.min_queue_size = min_queue_size
         self.queue_increment = queue_increment
         self.threads = max(threads, 1)

@@ -96,3 +96,39 @@ def test_e2e_bcf_in_bcf_out(tmp_path):
     out_rd = VcfReader(out_bcf)
     some = list(out_rd.fetch(text_recs[0].split(b"\t")[0].decode(), 0, 10**9))
     assert some
+
+
+def test_gt_phased_missing_and_wide_alleles(tmp_path):
+    """Phased half-missing GTs ('0|.', '.|.') must round-trip (missing is
+    (v>>1)==0 regardless of the phase bit), and GT allele indexes > 62 must
+    widen past int8 instead of crashing."""
+    hdr = [b"##fileformat=VCFv4.2",
+           b'##contig=<ID=c,length=1000>',
+           b'##FILTER=<ID=PASS,Description="x">',
+           b'##FORMAT=<ID=GT,Number=1,Type=String,Description="x">',
+           b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1"]
+    alts = b",".join(b"A" * (k + 2) for k in range(70))
+    lines = [
+        b"c\t10\t.\tA\tC\t.\t.\t.\tGT\t0|.",
+        b"c\t20\t.\tA\tC\t.\t.\t.\tGT\t.|.",
+        b"c\t30\t.\tA\tC\t.\t.\t.\tGT\t.|1",
+        b"c\t40\t.\tA\t" + alts + b"\t.\t.\t.\tGT\t63/70",
+    ]
+    p = str(tmp_path / "gt.bcf")
+    w = BcfWriter(p, hdr)
+    for line in lines:
+        w.write_line(line)
+    w.close()
+    assert list(BcfReader(p)) == lines
+
+
+def test_undeclared_key_clean_error(tmp_path):
+    from hiphase_tpu.io.bcf import BcfError
+    hdr = [b"##fileformat=VCFv4.2",
+           b'##contig=<ID=c,length=1000>',
+           b'##FORMAT=<ID=GT,Number=1,Type=String,Description="x">',
+           b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1"]
+    w = BcfWriter(str(tmp_path / "e.bcf"), hdr)
+    with pytest.raises(BcfError, match="'FOO' is not declared"):
+        w.write_line(b"c\t10\t.\tA\tC\t.\t.\tFOO=1\tGT\t0/1")
+    w.close()
