@@ -122,7 +122,7 @@ def main():
     bench_e2e.ensure_dataset(bench_e2e.build_args(["--mb", str(args.mb)]))
 
     base_cmd = [sys.executable, e2e, "--mb", str(args.mb)]
-    attempts = [_run_json(base_cmd, timeout=1800)
+    attempts = [_run_json(base_cmd, timeout=420)
                 for _ in range(1 + args.reps)]
     runs = [r for r in attempts if r is not None]
     if not runs:
@@ -156,7 +156,7 @@ def main():
         out["warm_best_s"] = round(warm_best, 2)
         out["cold_over_warm"] = round(run1 / warm_best, 2)
     else:
-        out["run1_error"] = "cold run failed or timed out (>1800s)"
+        out["run1_error"] = "cold run failed or timed out (>420s)"
     if len(runs) < len(attempts):
         out["failed_reps"] = len(attempts) - len(runs)
     if best_run.get("node_expansions"):
@@ -167,7 +167,7 @@ def main():
                 best_run["node_expansions"] / sol, 1)
 
     if not args.skip_global:
-        g = _run_json(base_cmd + ["--global"], timeout=1800)
+        g = _run_json(base_cmd + ["--global"], timeout=420)
         if g is not None:
             out["global_mode"] = {
                 "e2e_phased_hets_per_sec": g["value"],
@@ -177,8 +177,11 @@ def main():
             }
 
     if not args.skip_kernel:
+        # bounded tightly: the whole bench must fit a driver-side
+        # `timeout 600`, and a hung device link must cost minutes of margin,
+        # not the budget
         k = _run_json([sys.executable, os.path.abspath(__file__),
-                       "--kernel-only"], timeout=600)
+                       "--kernel-only"], timeout=180)
         if k is None:
             out["kernel_hets_per_sec"] = None
             out["kernel_error"] = ("device kernel bench timed out or "
