@@ -232,12 +232,22 @@ def _main(argv=None) -> int:
     # callers invoking main() repeatedly would park a thread per run
     _probe_pool.shutdown(wait=False)
 
+    # the reference load, the BAM span scan, and the first VCF chrom scan
+    # are independent native/IO tasks; loading the reference on a thread
+    # overlaps it with block-iterator priming below (~the entire FASTA load
+    # disappears from the critical path; ref loads serially in main.rs:240)
     logger.info("Loading reference genome...")
-    reference_genome = ReferenceGenome.from_fasta(args.reference)
-    # CRAM containers encode/decode against the reference; register it
-    # before any alignment file is opened (by-extension dispatch)
-    from hiphase_tpu.io.bam import set_cram_reference
-    set_cram_reference(reference_genome)
+    _ref_pool = ThreadPoolExecutor(max_workers=1)
+    ref_future = _ref_pool.submit(ReferenceGenome.from_fasta, args.reference)
+    _ref_pool.shutdown(wait=False)
+    reference_genome = None
+    if any(b.endswith(".cram") for b in args.bams) or \
+            any(b.endswith(".cram") for b in args.output_bams):
+        # CRAM containers encode/decode against the reference; it must be
+        # registered before any alignment file is opened
+        reference_genome = ref_future.result()
+        from hiphase_tpu.io.bam import set_cram_reference
+        set_cram_reference(reference_genome)
 
     # per-sample BAM assignment + block iterators (ref: main.rs:77-141)
     sample_to_bams: dict[str, list[str]] = {}
@@ -261,6 +271,11 @@ def _main(argv=None) -> int:
             min_spanning_reads=args.min_spanning_reads,
             allow_supplemental_joins=not args.disable_supplemental_joins))
     block_iterator = MultiPhaseBlockIterator(block_iterators)
+
+    if reference_genome is None:
+        reference_genome = ref_future.result()
+        from hiphase_tpu.io.bam import set_cram_reference
+        set_cram_reference(reference_genome)
 
     # --engine auto never blocks on the device probe: when the native
     # engine is available, the run starts on it immediately and *upgrades*
