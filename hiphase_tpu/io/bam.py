@@ -450,11 +450,224 @@ class BamReader:
                 out.append((raw, rec_off[keep], rec_size[keep]))
         return out
 
+    def fetch_raw_window(self, chrom: str, start: int, end_incl: int):
+        """Unfiltered bulk fetch for the ordered writer: every record with
+        start <= pos <= end_incl, as (raw, rec_off, rec_size, pos, rend,
+        flag) chunks — or None when the native path is unavailable."""
+        from hiphase_tpu.io import native
+        import numpy as np
+        if self._index is None or not native.available():
+            return None
+        tid = self.tid(chrom)
+        if tid < 0:
+            return []
+        names = [n.encode() for n in self.header.ref_names]
+        name_off = np.zeros(len(names) + 1, dtype=np.int64)
+        for i, nb in enumerate(names):
+            name_off[i + 1] = name_off[i] + len(nb)
+        name_blob = np.frombuffer(b"".join(names) or b"\x00", dtype=np.uint8)
+        if not hasattr(self, "_rawfh") or self._rawfh is None:
+            self._rawfh = open(self.path, "rb")
+        out = []
+        for cbeg, cend in self._index.query(tid, start, end_incl + 1):
+            c0 = cbeg >> 16
+            c1 = cend >> 16
+            self._rawfh.seek(c1)
+            head = self._rawfh.read(18)
+            span_end = c1
+            if (cend & 0xFFFF) and len(head) >= 18:
+                span_end = c1 + (struct.unpack_from("<H", head, 16)[0] + 1)
+            self._rawfh.seek(c0)
+            comp = self._rawfh.read(max(span_end - c0, 0))
+            raw = native.bgzf_decompress_all_arr(comp)
+            if raw is None:
+                return None
+            raw = raw[cbeg & 0xFFFF:]
+            scan = native.bam_scan_records(raw, name_blob, name_off)
+            if scan is None:
+                return None
+            (rtid, pos, rend, _mapq, flag, rec_off, rec_size,
+             *_sa, _consumed) = scan
+            keep = (rtid == tid) & (pos >= start) & (pos <= end_incl)
+            if keep.any():
+                out.append((raw, rec_off[keep], rec_size[keep], pos[keep],
+                            rend[keep], flag[keep]))
+        return out
+
+    def stream_raw_window(self, chrom: str, start: int, end_incl: int):
+        """Monotone streaming variant of fetch_raw_window for the ordered
+        writer: successive calls with non-decreasing windows decode each
+        BGZF block exactly ONCE (fetch_raw_window re-decompresses window
+        overlaps). Returns chunk tuples like fetch_raw_window, or None."""
+        from hiphase_tpu.io import native
+        if self._index is None or not native.available():
+            return None
+        tid = self.tid(chrom)
+        if tid < 0:
+            return []
+        cur = getattr(self, "_win_cursor", None)
+        if cur is None or cur.tid != tid or start < cur.watermark:
+            cur = _BamStreamCursor(self, tid, start)
+            self._win_cursor = cur
+        return cur.take(start, end_incl)
+
     def fetch_unmapped(self):
         """Yield fully unplaced records (refid < 0) at the file tail."""
         for rec in self:
             if rec.refid < 0:
                 yield rec
+
+    def fetch_unmapped_raw(self):
+        """Native bulk form of fetch_unmapped: decode from the end of the
+        last indexed chunk (unplaced records follow all mapped ones in a
+        coordinate-sorted BAM) and return (raw, rec_off, rec_size, pos,
+        rend, flag) chunks for refid<0 records — or None (fallback)."""
+        from hiphase_tpu.io import native
+        import numpy as np
+        if self._index is None or not native.available():
+            return None
+        bins = getattr(self._index, "bins", None)
+        if bins is None:
+            return None
+        vmax = self._body_voffset
+        for ref_bins in bins:
+            for chunks in ref_bins.values():
+                for _cb, ce in chunks:
+                    vmax = max(vmax, ce)
+        if not hasattr(self, "_rawfh") or self._rawfh is None:
+            self._rawfh = open(self.path, "rb")
+        self._rawfh.seek(vmax >> 16)
+        comp = self._rawfh.read()
+        raw = native.bgzf_decompress_all_arr(comp)
+        if raw is None:
+            return None
+        raw = raw[vmax & 0xFFFF:]
+        names = [n.encode() for n in self.header.ref_names]
+        name_off = np.zeros(len(names) + 1, dtype=np.int64)
+        for i, nb in enumerate(names):
+            name_off[i + 1] = name_off[i] + len(nb)
+        name_blob = np.frombuffer(b"".join(names) or b"\x00", dtype=np.uint8)
+        scan = native.bam_scan_records(raw, name_blob, name_off)
+        if scan is None:
+            return None
+        (rtid, pos, rend, _mapq, flag, rec_off, rec_size,
+         *_sa, _consumed) = scan
+        keep = rtid < 0
+        if not keep.any():
+            return []
+        return [(raw, rec_off[keep], rec_size[keep], pos[keep], rend[keep],
+                 flag[keep])]
+
+
+class _BamStreamCursor:
+    """Sequential decoder for stream_raw_window: decompresses forward in
+    slabs, scans records natively, and hands out position-windows without
+    ever decoding a compressed block twice."""
+
+    SLAB = 4 << 20  # compressed bytes per read
+
+    def __init__(self, reader: "BamReader", tid: int, start: int):
+        import numpy as np
+        self.reader = reader
+        self.tid = tid
+        self.watermark = start
+        self.eof = False
+        self._pend = None   # (raw, rec_off, rec_size, pos, rend, flag)
+        self._idx = 0
+        self._carry = np.empty(0, dtype=np.uint8)
+        chunks = reader._index.query(tid, start, 2**40)
+        if not chunks:
+            self.eof = True
+            self._coffset = 0
+            self._skip_u = 0
+            return
+        vbeg = min(c for c, _ in chunks)
+        self._coffset = vbeg >> 16
+        self._skip_u = vbeg & 0xFFFF
+        self._fh = open(reader.path, "rb")
+        self._fh.seek(self._coffset)
+        names = [n.encode() for n in reader.header.ref_names]
+        self._name_off = np.zeros(len(names) + 1, dtype=np.int64)
+        for i, nb in enumerate(names):
+            self._name_off[i + 1] = self._name_off[i] + len(nb)
+        self._name_blob = np.frombuffer(b"".join(names) or b"\x00",
+                                        dtype=np.uint8)
+        self._comp_carry = b""
+
+    def _decode_more(self) -> bool:
+        """Decode one more slab into the pending arrays; False at EOF."""
+        import struct as _struct
+
+        import numpy as np
+
+        from hiphase_tpu.io import native
+        if self.eof:
+            return False
+        slab = self._fh.read(self.SLAB)
+        data = self._comp_carry + slab
+        end = 0
+        while end + 18 <= len(data):
+            bsize = _struct.unpack_from("<H", data, end + 16)[0] + 1
+            if end + bsize > len(data):
+                break
+            end += bsize
+        self._comp_carry = data[end:]
+        if end == 0:
+            self.eof = True
+            return False
+        raw = native.bgzf_decompress_all_arr(data[:end])
+        if raw is None:
+            self.eof = True
+            return False
+        if self._skip_u:
+            raw = raw[self._skip_u:]
+            self._skip_u = 0
+        buf = np.concatenate([self._carry, raw]) if len(self._carry) else raw
+        scan = native.bam_scan_records(buf, self._name_blob, self._name_off)
+        if scan is None:
+            self.eof = True
+            return False
+        (rtid, pos, rend, _mapq, flag, rec_off, rec_size,
+         *_sa, consumed) = scan
+        self._carry = buf[consumed:]
+        if not slab:
+            self.eof = True
+        keep = rtid == self.tid
+        # records past this tid end the stream for this cursor
+        if (rtid > self.tid).any() or (rtid < 0).any():
+            self.eof = True
+        self._pend = (buf, rec_off[keep], rec_size[keep], pos[keep],
+                      rend[keep], flag[keep])
+        self._idx = 0
+        return True
+
+    def take(self, start: int, end_incl: int):
+        """Chunk tuples for records with start <= pos <= end_incl."""
+        import numpy as np
+        out = []
+        self.watermark = max(self.watermark, start)
+        while True:
+            if self._pend is None or self._idx >= len(self._pend[1]):
+                if not self._decode_more():
+                    break
+                continue
+            buf, rec_off, rec_size, pos, rend, flag = self._pend
+            lo = self._idx
+            # skip records before the window (consumed by prior windows or
+            # overlapping from an earlier start)
+            while lo < len(pos) and pos[lo] < start:
+                lo += 1
+            hi = lo
+            while hi < len(pos) and pos[hi] <= end_incl:
+                hi += 1
+            if hi > lo:
+                out.append((buf, rec_off[lo:hi], rec_size[lo:hi],
+                            pos[lo:hi], rend[lo:hi], flag[lo:hi]))
+            self._idx = hi
+            if hi < len(pos):
+                break  # next record is beyond the window: stop decoding
+        self.watermark = end_incl + 1
+        return out
 
 
 def reg2bin(beg: int, end: int) -> int:
@@ -663,6 +876,20 @@ class BamWriter:
         end = rec.reference_end() if not rec.is_unmapped else rec.pos + 1
         self._entries.append((rec.refid, rec.pos, end, ubeg, uend,
                               not rec.is_unmapped))
+
+    def write_raw_records(self, data, out_off, refid: int, pos, rend,
+                          flag) -> None:
+        """Append pre-serialized records (size-prefixed) in one write;
+        index entries from the parallel pos/rend/flag arrays."""
+        base = self._bgzf.upos
+        self._bgzf.write(data.tobytes() if hasattr(data, "tobytes") else data)
+        entries = self._entries
+        for i in range(len(pos)):
+            mapped = not (int(flag[i]) & FLAG_UNMAPPED)
+            end = int(rend[i]) if mapped else int(pos[i]) + 1
+            entries.append((refid, int(pos[i]), end,
+                            base + int(out_off[i]), base + int(out_off[i + 1]),
+                            mapped))
 
     def close(self) -> None:
         if self._closed:

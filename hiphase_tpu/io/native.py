@@ -605,3 +605,40 @@ def rans_uncompress(stream: bytes, out_size: int):
     if n < 0:
         return None
     return out[:int(n)].tobytes()
+
+
+def bam_retag(raw: np.ndarray, rec_off: np.ndarray, rec_size: np.ndarray,
+              tag_names: list[bytes], tag_ps: np.ndarray, tag_hp: np.ndarray):
+    """Bulk strip HP/PS + retag (hn_bam_retag). Returns (data_bytes,
+    out_off [n+1]) of serialized records, or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib.hn_bam_retag, "_hn_ready"):
+        lib.hn_bam_retag.restype = ctypes.c_int64
+        lib.hn_bam_retag.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+        lib.hn_bam_retag._hn_ready = True
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    rec_off = np.ascontiguousarray(rec_off, dtype=np.int64)
+    rec_size = np.ascontiguousarray(rec_size, dtype=np.int64)
+    n = len(rec_off)
+    name_off = np.zeros(len(tag_names) + 1, dtype=np.int64)
+    for i, nm in enumerate(tag_names):
+        name_off[i + 1] = name_off[i] + len(nm)
+    name_blob = np.frombuffer(b"".join(tag_names) or b"\x00", dtype=np.uint8)
+    tag_ps = np.ascontiguousarray(tag_ps, dtype=np.int32)
+    tag_hp = np.ascontiguousarray(tag_hp, dtype=np.uint8)
+    cap = int(rec_size.sum()) + n * 20 + 64
+    out = np.empty(cap, dtype=np.uint8)
+    out_off = np.empty(n + 1, dtype=np.int64)
+    total = lib.hn_bam_retag(
+        _ptr(raw), _ptr(rec_off), _ptr(rec_size), n, _ptr(name_blob),
+        _ptr(name_off), len(tag_names), _ptr(tag_ps), _ptr(tag_hp),
+        _ptr(out), cap, _ptr(out_off))
+    if total < 0:
+        return None
+    return out[:int(total)], out_off

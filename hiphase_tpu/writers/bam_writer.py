@@ -92,6 +92,9 @@ class OrderedBamWriter:
             end_pos = haplotag_result.phase_block.end
             lookup = haplotag_result.reads
             for reader, writer in zip(self.readers, self.writers):
+                if self._write_window_native(reader, writer, chrom_result,
+                                             start_pos, end_pos, lookup):
+                    continue
                 for record in reader.fetch(chrom_result, start_pos, end_pos + 1):
                     if record.pos < start_pos:
                         continue  # overlaps but started in a prior window
@@ -107,6 +110,43 @@ class OrderedBamWriter:
             self.current_pos = end_pos + 1
             self.current_index += 1
 
+    # windowed native copy: strip+retag whole fetched ranges in C++
+    # (hn_bam_retag) and write them in one batch; the per-record path above
+    # remains for CRAM outputs and as the no-native fallback
+    _NATIVE_WINDOW = 16 << 20  # bp per native sub-window (bounds raw memory)
+
+    def _write_window_native(self, reader, writer, chrom, start_pos,
+                             end_pos, lookup) -> bool:
+        from hiphase_tpu.io import native
+        from hiphase_tpu.io.bam import BamWriter
+        import numpy as np
+        if not isinstance(writer, BamWriter) or not native.available():
+            return False
+        if not hasattr(reader, "fetch_raw_window"):
+            return False
+        tid = reader.tid(chrom)
+        names = list(lookup.keys())
+        tag_names = [n.encode() for n in names]
+        tag_ps = np.fromiter((lookup[n][0] + 1 for n in names), np.int32,
+                             len(names))
+        tag_hp = np.fromiter((lookup[n][1] + 1 for n in names), np.uint8,
+                             len(names))
+        lo = start_pos
+        while lo <= end_pos:
+            hi = min(lo + self._NATIVE_WINDOW - 1, end_pos)
+            chunks = reader.stream_raw_window(chrom, lo, hi)
+            if chunks is None:
+                return False
+            for raw, rec_off, rec_size, pos, rend, flag in chunks:
+                out = native.bam_retag(raw, rec_off, rec_size, tag_names,
+                                       tag_ps, tag_hp)
+                if out is None:
+                    return False
+                data, out_off = out
+                writer.write_raw_records(data, out_off, tid, pos, rend, flag)
+            lo = hi + 1
+        return True
+
     def finalize_chromosome(self) -> None:
         """Copy the chromosome tail (ref: ordered_bam_writer.rs:263-303)."""
         assert self.current_chrom not in self.finished_chroms
@@ -116,6 +156,11 @@ class OrderedBamWriter:
             if tid < 0:
                 continue
             end = reader.header.ref_lengths[tid]
+            if self._write_window_native(reader, writer, self.current_chrom,
+                                         start_pos, max(end, start_pos + 1),
+                                         {}):
+                self.current_pos = max(self.current_pos, end)
+                continue
             for record in reader.fetch(self.current_chrom, start_pos, max(end, start_pos + 1)):
                 if record.pos < start_pos:
                     continue
@@ -131,10 +176,37 @@ class OrderedBamWriter:
                 if name in self.finished_chroms:
                     continue
                 length = reader.header.ref_lengths[tid]
+                if self._write_window_native(reader, writer, name, 0,
+                                             length, {}):
+                    continue
                 for record in reader.fetch(name, 0, length):
                     writer.write(record.strip_tags({"HP", "PS"}))
+            if self._copy_unmapped_native(reader, writer):
+                continue
             for record in reader.fetch_unmapped():
                 writer.write(record.strip_tags({"HP", "PS"}))
+
+    def _copy_unmapped_native(self, reader, writer) -> bool:
+        from hiphase_tpu.io import native
+        from hiphase_tpu.io.bam import BamWriter
+        import numpy as np
+        if not isinstance(writer, BamWriter) or not native.available():
+            return False
+        if not hasattr(reader, "fetch_unmapped_raw"):
+            return False
+        chunks = reader.fetch_unmapped_raw()
+        if chunks is None:
+            return False
+        empty_ps = np.empty(0, dtype=np.int32)
+        empty_hp = np.empty(0, dtype=np.uint8)
+        for raw, rec_off, rec_size, pos, rend, flag in chunks:
+            out = native.bam_retag(raw, rec_off, rec_size, [], empty_ps,
+                                   empty_hp)
+            if out is None:
+                return False
+            data, out_off = out
+            writer.write_raw_records(data, out_off, -1, pos, rend, flag)
+        return True
 
     def close(self) -> None:
         for w in self.writers:

@@ -20,12 +20,14 @@
 #include <cstdlib>
 #include <memory>
 #include <thread>
+#include <string>
 #include <unordered_map>
 #include <queue>
 #include <utility>
 #include <vector>
 
 #include <zlib.h>
+#include <libdeflate.h>
 
 namespace {
 
@@ -95,30 +97,31 @@ int64_t hn_bgzf_compress_many(const uint8_t* in, const int64_t* in_offsets,
     std::vector<uint8_t>& dst = results[i];
     dst.resize(max_block);
 
-    z_stream zs;
-    std::memset(&zs, 0, sizeof(zs));
-    if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY)
-        != Z_OK) {
+    // libdeflate's compressor + crc32 are ~2x zlib's at the same level
+    thread_local libdeflate_compressor* comp_cache = nullptr;
+    thread_local int comp_level = -1;
+    if (comp_cache == nullptr || comp_level != level) {
+      if (comp_cache != nullptr) libdeflate_free_compressor(comp_cache);
+      comp_cache = libdeflate_alloc_compressor(level);
+      comp_level = level;
+    }
+    if (comp_cache == nullptr) {
       failed.store(true);
       return;
     }
-    zs.next_in = const_cast<uint8_t*>(src);
-    zs.avail_in = static_cast<uInt>(src_len);
-    zs.next_out = dst.data() + kBgzfHeaderLen;
-    zs.avail_out = static_cast<uInt>(max_block - kBgzfHeaderLen -
-                                     kBgzfFooterLen);
-    int ret = deflate(&zs, Z_FINISH);
-    int64_t cdata_len = zs.total_out;
-    deflateEnd(&zs);
-    if (ret != Z_STREAM_END) {
+    size_t cdata_len = libdeflate_deflate_compress(
+        comp_cache, src, static_cast<size_t>(src_len),
+        dst.data() + kBgzfHeaderLen,
+        static_cast<size_t>(max_block - kBgzfHeaderLen - kBgzfFooterLen));
+    if (cdata_len == 0) {
       failed.store(true);
       return;
     }
     uint32_t bsize =
         static_cast<uint32_t>(kBgzfHeaderLen + cdata_len + kBgzfFooterLen);
     write_bgzf_header(dst.data(), bsize);
-    uint32_t crc = crc32(0L, Z_NULL, 0);
-    crc = crc32(crc, src, static_cast<uInt>(src_len));
+    uint32_t crc = static_cast<uint32_t>(
+        libdeflate_crc32(0, src, static_cast<size_t>(src_len)));
     uint8_t* tail = dst.data() + kBgzfHeaderLen + cdata_len;
     uint32_t isize = static_cast<uint32_t>(src_len);
     std::memcpy(tail, &crc, 4);
@@ -171,19 +174,17 @@ int32_t hn_bgzf_decompress_many(const uint8_t* in, const int64_t* block_offsets,
       failed.store(true);
       return;
     }
-    z_stream zs;
-    std::memset(&zs, 0, sizeof(zs));
-    if (inflateInit2(&zs, -15) != Z_OK) {
-      failed.store(true);
-      return;
-    }
-    zs.next_in = const_cast<uint8_t*>(block + cdata_off);
-    zs.avail_in = static_cast<uInt>(cdata_len);
-    zs.next_out = out + out_offsets[i];
-    zs.avail_out = static_cast<uInt>(expected);
-    int ret = inflate(&zs, Z_FINISH);
-    inflateEnd(&zs);
-    if (ret != Z_STREAM_END || static_cast<int64_t>(zs.total_out) != expected) {
+    // libdeflate's whole-buffer decompressor is ~2-3x faster than zlib's
+    // streaming inflate for BGZF-sized blocks (the pipeline's dominant
+    // byte-volume operation: every read's bases+quals pass through here)
+    size_t actual = 0;
+    thread_local libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+    if (dec == nullptr ||
+        libdeflate_deflate_decompress(
+            dec, block + cdata_off, static_cast<size_t>(cdata_len),
+            out + out_offsets[i], static_cast<size_t>(expected),
+            &actual) != LIBDEFLATE_SUCCESS ||
+        static_cast<int64_t>(actual) != expected) {
       failed.store(true);
     }
   });
@@ -2865,6 +2866,143 @@ int64_t hn_rans_uncompress(const uint8_t* in, int64_t in_len, uint8_t* out,
     return out_size;
   }
   return -1;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Bulk BAM record retag for the ordered haplotag writer
+// (ref: src/writers/ordered_bam_writer.rs:197-237): strip existing HP/PS
+// aux tags and append fresh PS/HP for records whose read name is in the
+// block's haplotag table. Emits serialized records (int32 size prefix +
+// body) ready for the BGZF batch writer — replaces the per-record Python
+// parse/strip/retag that dominated haplotagged-BAM output time.
+
+namespace bam_retag {
+
+// end offset of the aux entry starting at `a` (relative to rec), or -1
+static int64_t aux_end(const uint8_t* rec, int64_t a, int64_t block_size) {
+  if (a + 3 > block_size) return -1;
+  char tc = static_cast<char>(rec[a + 2]);
+  int64_t vs = a + 3;
+  switch (tc) {
+    case 'A': case 'c': case 'C': return vs + 1;
+    case 's': case 'S': return vs + 2;
+    case 'i': case 'I': case 'f': return vs + 4;
+    case 'Z': case 'H': {
+      int64_t ve = vs;
+      while (ve < block_size && rec[ve] != 0) ++ve;
+      if (ve >= block_size) return -1;
+      return ve + 1;
+    }
+    case 'B': {
+      if (vs + 5 > block_size) return -1;
+      char sub = static_cast<char>(rec[vs]);
+      uint32_t count;
+      std::memcpy(&count, rec + vs + 1, 4);
+      int w;
+      switch (sub) {
+        case 'c': case 'C': w = 1; break;
+        case 's': case 'S': w = 2; break;
+        case 'i': case 'I': case 'f': w = 4; break;
+        default: return -1;
+      }
+      return vs + 5 + static_cast<int64_t>(w) * count;
+    }
+    default: return -1;
+  }
+}
+
+}  // namespace bam_retag
+
+extern "C" {
+
+// tag table: n_tags read names (blob + offsets) with parallel ps/hp values.
+// Returns total bytes written to `out`, or -1 (capacity) / -2 (malformed).
+int64_t hn_bam_retag(const uint8_t* raw, const int64_t* rec_off,
+                     const int64_t* rec_size, int64_t n_recs,
+                     const uint8_t* tag_names, const int64_t* tag_name_off,
+                     int32_t n_tags, const int32_t* tag_ps,
+                     const uint8_t* tag_hp, uint8_t* out, int64_t out_cap,
+                     int64_t* out_off) {
+  std::unordered_map<std::string, int32_t> table;
+  table.reserve(static_cast<size_t>(n_tags) * 2);
+  for (int32_t t = 0; t < n_tags; ++t) {
+    table.emplace(std::string(
+                      reinterpret_cast<const char*>(tag_names) +
+                          tag_name_off[t],
+                      static_cast<size_t>(tag_name_off[t + 1] -
+                                          tag_name_off[t])),
+                  t);
+  }
+  int64_t w = 0;
+  for (int64_t i = 0; i < n_recs; ++i) {
+    out_off[i] = w;
+    const uint8_t* rec = raw + rec_off[i];
+    int64_t bs = rec_size[i];
+    if (bs < 32) return -2;
+    uint8_t l_read_name = rec[8];
+    uint16_t n_cigar;
+    std::memcpy(&n_cigar, rec + 12, 2);
+    uint32_t l_seq;
+    std::memcpy(&l_seq, rec + 16, 4);
+    int64_t aux_off = 32 + l_read_name + 4LL * n_cigar +
+                      (l_seq + 1) / 2 + l_seq;
+    if (aux_off > bs) return -2;
+
+    // locate the record in the tag table by read name (NUL-terminated)
+    int32_t tag_idx = -1;
+    {
+      std::string name(reinterpret_cast<const char*>(rec) + 32,
+                       l_read_name > 0 ? static_cast<size_t>(l_read_name - 1)
+                                       : 0);
+      auto it = table.find(name);
+      if (it != table.end()) tag_idx = it->second;
+    }
+
+    // bound: original + size prefix + two appended tags (<= 7 bytes each)
+    if (w + 4 + bs + 16 > out_cap) return -1;
+    uint8_t* dst = out + w + 4;  // fill size prefix afterwards
+    std::memcpy(dst, rec, aux_off);
+    int64_t dlen = aux_off;
+    int64_t a = aux_off;
+    while (a + 3 <= bs) {
+      int64_t e = bam_retag::aux_end(rec, a, bs);
+      if (e < 0 || e > bs) return -2;
+      bool is_hp_ps = (rec[a] == 'H' && rec[a + 1] == 'P') ||
+                      (rec[a] == 'P' && rec[a + 1] == 'S');
+      if (!is_hp_ps) {
+        std::memcpy(dst + dlen, rec + a, e - a);
+        dlen += e - a;
+      }
+      a = e;
+    }
+    if (tag_idx >= 0) {
+      // PS then HP, width by value (matches BamRecord.with_int_tags)
+      int32_t ps = tag_ps[tag_idx];
+      if (ps >= 0 && ps <= 255) {
+        dst[dlen++] = 'P';
+        dst[dlen++] = 'S';
+        dst[dlen++] = 'C';
+        dst[dlen++] = static_cast<uint8_t>(ps);
+      } else {
+        dst[dlen++] = 'P';
+        dst[dlen++] = 'S';
+        dst[dlen++] = 'i';
+        std::memcpy(dst + dlen, &ps, 4);
+        dlen += 4;
+      }
+      dst[dlen++] = 'H';
+      dst[dlen++] = 'P';
+      dst[dlen++] = 'C';
+      dst[dlen++] = tag_hp[tag_idx];
+    }
+    uint32_t sz = static_cast<uint32_t>(dlen);
+    std::memcpy(out + w, &sz, 4);
+    w += 4 + dlen;
+  }
+  out_off[n_recs] = w;
+  return w;
 }
 
 }  // extern "C"

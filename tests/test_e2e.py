@@ -177,3 +177,30 @@ def test_e2e_unphased_regions(tmp_path):
     assert max(phased_pos) < 10000, "nothing beyond read coverage can phase"
     assert all(p > 9000 for p in unphased_pos), \
         "covered variants should be phased"
+
+
+def test_bam_writer_native_window_matches_record_path(tmp_path):
+    """The bulk native strip+retag window path must produce records
+    byte-identical (including aux tag order and widths) to the per-record
+    Python path."""
+    from hiphase_tpu.io import native as native_mod
+    from hiphase_tpu.writers.bam_writer import OrderedBamWriter
+
+    if not native_mod.available():
+        pytest.skip("native library not built")
+    fasta, vcf, bam, contigs, _ = build_dataset(
+        tmp_path, seed=77, n_contigs=2, contig_len=9000, coverage=12)
+    out_n = run_cli(tmp_path, fasta, vcf, bam, name="nat",
+                    extra=["--engine", "native"])[1]
+    orig = OrderedBamWriter._write_window_native
+    OrderedBamWriter._write_window_native = lambda *a, **k: False
+    try:
+        out_r = run_cli(tmp_path, fasta, vcf, bam, name="rec",
+                        extra=["--engine", "native"])[1]
+    finally:
+        OrderedBamWriter._write_window_native = orig
+    with BamReader(out_n) as a, BamReader(out_r) as b:
+        ra = [r.raw for r in a]
+        rb = [r.raw for r in b]
+    assert len(ra) == len(rb) > 50
+    assert ra == rb
