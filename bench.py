@@ -100,8 +100,10 @@ def kernel_metric():
 def main():
     import argparse
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mb", type=int, default=10)
-    ap.add_argument("--reps", type=int, default=2,
+    ap.add_argument("--mb", type=int, default=30,
+                    help="dataset size; 30Mb balances steady-state "
+                         "representativeness against cold dataset-gen time")
+    ap.add_argument("--reps", type=int, default=3,
                     help="fresh-process warm reps after run 1")
     ap.add_argument("--skip-kernel", action="store_true")
     ap.add_argument("--skip-global", action="store_true")
