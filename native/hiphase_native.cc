@@ -483,8 +483,10 @@ int64_t hn_wfa_align(const uint8_t* node_blob, const int64_t* node_off,
     for (int32_t ni = 0; ni < n_nodes; ++ni) {
       if (!active_any[ni]) continue;
       active_any[ni] = 0;
-      Front wavefront;
-      wavefront.swap(active[ni]);
+      // iterate in place: same-step inserts only target successor nodes
+      // (topological order), and the end-of-step clear() keeps the bucket
+      // arrays alive instead of reallocating them every node visit
+      Front& wavefront = active[ni];
       const uint8_t* seq = node_blob + node_off[ni];
       const int64_t node_len = node_off[ni + 1] - node_off[ni];
       auto& mf = maxfront[ni];
@@ -496,10 +498,27 @@ int64_t hn_wfa_align(const uint8_t* node_blob, const int64_t* node_off,
         for (auto& w : waves) {
           int64_t off = w.first;
           int64_t opos = other_start + off;
+          // greedy match extension, 8 bytes per probe (HiFi reads mostly
+          // match, so this is the align hot loop)
+          while (off + 8 <= node_len && opos + 8 <= read_len) {
+            uint64_t a, b;
+            std::memcpy(&a, seq + off, 8);
+            std::memcpy(&b, read + opos, 8);
+            uint64_t x = a ^ b;
+            if (x) {
+              int adv = __builtin_ctzll(x) >> 3;
+              off += adv;
+              opos += adv;
+              goto extended;
+            }
+            off += 8;
+            opos += 8;
+          }
           while (off < node_len && opos < read_len && seq[off] == read[opos]) {
             ++off;
             ++opos;
           }
+        extended:
           w.first = off;
           if (off > max_offset) max_offset = off;
         }
@@ -583,12 +602,10 @@ int64_t hn_wfa_align(const uint8_t* node_blob, const int64_t* node_off,
     }
 
     ++edit_distance;
+    for (int32_t i = 0; i < n_nodes; ++i) active[i].clear();
     active.swap(next);
     active_any.swap(next_any);
-    for (int32_t i = 0; i < n_nodes; ++i) {
-      next[i].clear();
-      next_any[i] = 0;
-    }
+    for (int32_t i = 0; i < n_nodes; ++i) next_any[i] = 0;
     if (farthest > prune_distance) min_progression = farthest - prune_distance;
     if (edit_distance > max_edit_distance) return -1;
   }
