@@ -124,8 +124,16 @@ def main():
     bench_e2e.ensure_dataset(bench_e2e.build_args(["--mb", str(args.mb)]))
 
     base_cmd = [sys.executable, e2e, "--mb", str(args.mb)]
-    attempts = [_run_json(base_cmd, timeout=420)
-                for _ in range(1 + args.reps)]
+    # shared deadline: the WHOLE bench must fit a driver-side `timeout 600`,
+    # so later reps get whatever budget earlier (possibly hung) reps left
+    deadline = time.monotonic() + 360
+    attempts = []
+    for _ in range(1 + args.reps):
+        left = deadline - time.monotonic()
+        if left < 20:
+            attempts.append(None)
+            continue
+        attempts.append(_run_json(base_cmd, timeout=left))
     runs = [r for r in attempts if r is not None]
     if not runs:
         print(json.dumps({"metric": "e2e_phased_hets_per_sec", "value": 0,
@@ -169,7 +177,8 @@ def main():
                 best_run["node_expansions"] / sol, 1)
 
     if not args.skip_global:
-        g = _run_json(base_cmd + ["--global"], timeout=420)
+        g = _run_json(base_cmd + ["--global"],
+                      timeout=max(deadline + 120 - time.monotonic(), 20))
         if g is not None:
             out["global_mode"] = {
                 "e2e_phased_hets_per_sec": g["value"],

@@ -237,9 +237,30 @@ def _main(argv=None) -> int:
     # overlaps it with block-iterator priming below (~the entire FASTA load
     # disappears from the critical path; ref loads serially in main.rs:240)
     logger.info("Loading reference genome...")
-    _ref_pool = ThreadPoolExecutor(max_workers=1)
-    ref_future = _ref_pool.submit(ReferenceGenome.from_fasta, args.reference)
-    _ref_pool.shutdown(wait=False)
+    # daemon loader thread: a fast failure elsewhere (bad index, malformed
+    # VCF) must not block interpreter shutdown behind a multi-GB FASTA read
+    import threading as _threading
+
+    class _RefFuture:
+        def __init__(self, path):
+            self._box = {}
+            self._t = _threading.Thread(target=self._run, args=(path,),
+                                        daemon=True)
+            self._t.start()
+
+        def _run(self, path):
+            try:
+                self._box["ok"] = ReferenceGenome.from_fasta(path)
+            except BaseException as e:
+                self._box["err"] = e
+
+        def result(self):
+            self._t.join()
+            if "err" in self._box:
+                raise self._box["err"]
+            return self._box["ok"]
+
+    ref_future = _RefFuture(args.reference)
     reference_genome = None
     if any(b.endswith(".cram") for b in args.bams) or \
             any(b.endswith(".cram") for b in args.output_bams):

@@ -344,6 +344,17 @@ class BamReader:
 
     def close(self):
         self._bgzf.close()
+        cur = getattr(self, "_win_cursor", None)
+        if cur is not None:
+            cur.close()
+            self._win_cursor = None
+        fh = getattr(self, "_rawfh", None)
+        if fh is not None:
+            try:
+                fh.close()
+            except Exception:
+                pass
+            self._rawfh = None
 
     def __enter__(self):
         return self
@@ -375,8 +386,18 @@ class BamReader:
                 return
             yield rec
 
+    @staticmethod
+    def _rec_end(rec: "BamRecord") -> int:
+        """Effective exclusive end for region overlap: htslib treats
+        placed-unmapped records (and zero-ref-span CIGARs) as length 1 at
+        pos, and region fetches DO return them."""
+        if rec.is_unmapped:
+            return rec.pos + 1
+        return max(rec.reference_end(), rec.pos + 1)
+
     def fetch(self, chrom: str, start: int, end: int):
-        """Yield records overlapping [start, end) on chrom, in file order."""
+        """Yield records overlapping [start, end) on chrom, in file order
+        (placed-unmapped records included, as htslib's fetch does)."""
         tid = self.tid(chrom)
         if tid < 0:
             return
@@ -390,12 +411,12 @@ class BamReader:
                         break
                     if rec.refid != tid or rec.pos >= end:
                         break
-                    if not rec.is_unmapped and rec.reference_end() > start:
+                    if self._rec_end(rec) > start:
                         yield rec
         else:
             for rec in self:
-                if rec.refid == tid and not rec.is_unmapped \
-                        and rec.pos < end and rec.reference_end() > start:
+                if rec.refid == tid and rec.pos < end \
+                        and self._rec_end(rec) > start:
                     yield rec
 
     def fetch_raw(self, chrom: str, start: int, end: int, min_mapq: int):
@@ -444,61 +465,22 @@ class BamReader:
                 return None
             (rtid, pos, rend, mapq, flag, rec_off, rec_size,
              *_sa, _consumed) = scan
-            keep = ((rtid == tid) & (pos < end) & (rend > start)
+            import numpy as _np
+            keep = ((rtid == tid) & (pos < end)
+                    & (_np.maximum(rend, pos + 1) > start)
                     & ((flag & bad_flags) == 0) & (mapq >= min_mapq))
             if keep.any():
                 out.append((raw, rec_off[keep], rec_size[keep]))
         return out
 
-    def fetch_raw_window(self, chrom: str, start: int, end_incl: int):
-        """Unfiltered bulk fetch for the ordered writer: every record with
-        start <= pos <= end_incl, as (raw, rec_off, rec_size, pos, rend,
-        flag) chunks — or None when the native path is unavailable."""
-        from hiphase_tpu.io import native
-        import numpy as np
-        if self._index is None or not native.available():
-            return None
-        tid = self.tid(chrom)
-        if tid < 0:
-            return []
-        names = [n.encode() for n in self.header.ref_names]
-        name_off = np.zeros(len(names) + 1, dtype=np.int64)
-        for i, nb in enumerate(names):
-            name_off[i + 1] = name_off[i] + len(nb)
-        name_blob = np.frombuffer(b"".join(names) or b"\x00", dtype=np.uint8)
-        if not hasattr(self, "_rawfh") or self._rawfh is None:
-            self._rawfh = open(self.path, "rb")
-        out = []
-        for cbeg, cend in self._index.query(tid, start, end_incl + 1):
-            c0 = cbeg >> 16
-            c1 = cend >> 16
-            self._rawfh.seek(c1)
-            head = self._rawfh.read(18)
-            span_end = c1
-            if (cend & 0xFFFF) and len(head) >= 18:
-                span_end = c1 + (struct.unpack_from("<H", head, 16)[0] + 1)
-            self._rawfh.seek(c0)
-            comp = self._rawfh.read(max(span_end - c0, 0))
-            raw = native.bgzf_decompress_all_arr(comp)
-            if raw is None:
-                return None
-            raw = raw[cbeg & 0xFFFF:]
-            scan = native.bam_scan_records(raw, name_blob, name_off)
-            if scan is None:
-                return None
-            (rtid, pos, rend, _mapq, flag, rec_off, rec_size,
-             *_sa, _consumed) = scan
-            keep = (rtid == tid) & (pos >= start) & (pos <= end_incl)
-            if keep.any():
-                out.append((raw, rec_off[keep], rec_size[keep], pos[keep],
-                            rend[keep], flag[keep]))
-        return out
-
     def stream_raw_window(self, chrom: str, start: int, end_incl: int):
-        """Monotone streaming variant of fetch_raw_window for the ordered
-        writer: successive calls with non-decreasing windows decode each
-        BGZF block exactly ONCE (fetch_raw_window re-decompresses window
-        overlaps). Returns chunk tuples like fetch_raw_window, or None."""
+        """Monotone streaming bulk fetch for the ordered writer:
+        successive calls with non-decreasing windows decode each BGZF
+        block exactly ONCE. Returns chunk tuples of (raw, rec_off,
+        rec_size, pos, rend, flag), or None when the native path is
+        unavailable or the stream hit a decode error (callers MUST fall
+        back to the record path — a None here means records may remain
+        unread, never that the stream is simply done)."""
         from hiphase_tpu.io import native
         if self._index is None or not native.available():
             return None
@@ -507,9 +489,16 @@ class BamReader:
             return []
         cur = getattr(self, "_win_cursor", None)
         if cur is None or cur.tid != tid or start < cur.watermark:
+            if cur is not None:
+                cur.close()
             cur = _BamStreamCursor(self, tid, start)
             self._win_cursor = cur
-        return cur.take(start, end_incl)
+        if cur.error:
+            return None
+        out = cur.take(start, end_incl)
+        if cur.error:
+            return None
+        return out
 
     def fetch_unmapped(self):
         """Yield fully unplaced records (refid < 0) at the file tail."""
@@ -534,29 +523,55 @@ class BamReader:
             for chunks in ref_bins.values():
                 for _cb, ce in chunks:
                     vmax = max(vmax, ce)
-        if not hasattr(self, "_rawfh") or self._rawfh is None:
-            self._rawfh = open(self.path, "rb")
-        self._rawfh.seek(vmax >> 16)
-        comp = self._rawfh.read()
-        raw = native.bgzf_decompress_all_arr(comp)
-        if raw is None:
-            return None
-        raw = raw[vmax & 0xFFFF:]
+        import struct as _struct
         names = [n.encode() for n in self.header.ref_names]
         name_off = np.zeros(len(names) + 1, dtype=np.int64)
         for i, nb in enumerate(names):
             name_off[i + 1] = name_off[i] + len(nb)
         name_blob = np.frombuffer(b"".join(names) or b"\x00", dtype=np.uint8)
-        scan = native.bam_scan_records(raw, name_blob, name_off)
-        if scan is None:
-            return None
-        (rtid, pos, rend, _mapq, flag, rec_off, rec_size,
-         *_sa, _consumed) = scan
-        keep = rtid < 0
-        if not keep.any():
-            return []
-        return [(raw, rec_off[keep], rec_size[keep], pos[keep], rend[keep],
-                 flag[keep])]
+        out = []
+        slab_bytes = 8 << 20
+        skip_u = vmax & 0xFFFF
+        carry = np.empty(0, dtype=np.uint8)
+        comp_carry = b""
+        with open(self.path, "rb") as fh:
+            fh.seek(vmax >> 16)
+            while True:
+                slab = fh.read(slab_bytes)
+                data = comp_carry + slab
+                end = 0
+                while end + 18 <= len(data):
+                    bsize = _struct.unpack_from("<H", data, end + 16)[0] + 1
+                    if end + bsize > len(data):
+                        break
+                    end += bsize
+                comp_carry = data[end:]
+                if end == 0:
+                    if slab and len(data) >= 18:
+                        return None  # mid-file fragment: fall back
+                    break
+                raw = native.bgzf_decompress_all_arr(data[:end])
+                if raw is None:
+                    return None
+                if skip_u:
+                    raw = raw[skip_u:]
+                    skip_u = 0
+                buf = np.concatenate([carry, raw]) if len(carry) else raw
+                scan = native.bam_scan_records(buf, name_blob, name_off)
+                if scan is None:
+                    return None
+                (rtid, pos, rend, _mapq, flag, rec_off, rec_size,
+                 *_sa, consumed) = scan
+                carry = buf[consumed:]
+                keep = rtid < 0
+                if keep.any():
+                    out.append((buf, rec_off[keep], rec_size[keep],
+                                pos[keep], rend[keep], flag[keep]))
+                if not slab:
+                    break
+        if len(carry):
+            return None  # truncated record stream
+        return out
 
 
 class _BamStreamCursor:
@@ -572,6 +587,8 @@ class _BamStreamCursor:
         self.tid = tid
         self.watermark = start
         self.eof = False
+        self.error = False  # decode failure: callers must use the fallback
+        self._fh = None
         self._pend = None   # (raw, rec_off, rec_size, pos, rend, flag)
         self._idx = 0
         self._carry = np.empty(0, dtype=np.uint8)
@@ -601,7 +618,7 @@ class _BamStreamCursor:
         import numpy as np
 
         from hiphase_tpu.io import native
-        if self.eof:
+        if self.eof or self.error:
             return False
         slab = self._fh.read(self.SLAB)
         data = self._comp_carry + slab
@@ -613,10 +630,13 @@ class _BamStreamCursor:
             end += bsize
         self._comp_carry = data[end:]
         if end == 0:
+            if data and len(data) >= 18:
+                self.error = True  # mid-file fragment that is not a block
             self.eof = True
             return False
         raw = native.bgzf_decompress_all_arr(data[:end])
         if raw is None:
+            self.error = True  # corrupt block: NOT end-of-data
             self.eof = True
             return False
         if self._skip_u:
@@ -625,6 +645,7 @@ class _BamStreamCursor:
         buf = np.concatenate([self._carry, raw]) if len(self._carry) else raw
         scan = native.bam_scan_records(buf, self._name_blob, self._name_off)
         if scan is None:
+            self.error = True  # unsupported/malformed record: use fallback
             self.eof = True
             return False
         (rtid, pos, rend, _mapq, flag, rec_off, rec_size,
@@ -668,6 +689,14 @@ class _BamStreamCursor:
                 break  # next record is beyond the window: stop decoding
         self.watermark = end_incl + 1
         return out
+
+    def close(self) -> None:
+        if self._fh is not None:
+            try:
+                self._fh.close()
+            except Exception:
+                pass
+            self._fh = None
 
 
 def reg2bin(beg: int, end: int) -> int:

@@ -122,7 +122,7 @@ class OrderedBamWriter:
         import numpy as np
         if not isinstance(writer, BamWriter) or not native.available():
             return False
-        if not hasattr(reader, "fetch_raw_window"):
+        if not hasattr(reader, "stream_raw_window"):
             return False
         tid = reader.tid(chrom)
         names = list(lookup.keys())

@@ -2994,6 +2994,13 @@ int64_t hn_bam_retag(const uint8_t* raw, const int64_t* rec_off,
       }
       a = e;
     }
+    if (a < bs) {
+      // 1-2 trailing bytes the scanner tolerated: preserve them verbatim
+      // (the Python per-record path copies them, and byte parity between
+      // the two writer paths is the contract)
+      std::memcpy(dst + dlen, rec + a, bs - a);
+      dlen += bs - a;
+    }
     if (tag_idx >= 0) {
       // PS then HP, width by value (matches BamRecord.with_int_tags)
       int32_t ps = tag_ps[tag_idx];

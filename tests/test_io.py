@@ -295,3 +295,71 @@ def test_bam_writer_emits_csi_for_long_contigs(tmp_path):
         assert got == ["r2"]
         got_all = [r.read_name for r in rd.fetch("big", 0, L)]
         assert got_all == ["r0", "r1", "r2"]
+
+
+def test_fetch_includes_placed_unmapped(tmp_path):
+    """htslib region fetches return placed-unmapped mates (FLAG 0x4 with a
+    valid position); ours must too, and the haplotag writer must copy them
+    identically through the native and record paths."""
+    from hiphase_tpu.io.bam import BamReader, BamWriter, SamHeader
+
+    from tests.sim import make_bam_record
+
+    header = SamHeader("@HD\tVN:1.6\tSO:coordinate\n@RG\tID:rg1\tSM:S\n",
+                       ["c1"], [50000])
+    path = str(tmp_path / "pu.bam")
+    w = BamWriter(path, header)
+    w.write(make_bam_record("m1", 0, 100, b"ACGT" * 5, [("M", 20)],
+                            tags=b"RGZrg1\x00"))
+    # placed-unmapped mate at its mate's coordinate, no CIGAR
+    w.write(make_bam_record("pu", 0, 150, b"ACGT" * 5, [], flag=0x4,
+                            mapq=0, tags=b"RGZrg1\x00"))
+    w.write(make_bam_record("m2", 0, 300, b"ACGT" * 5, [("M", 20)],
+                            tags=b"RGZrg1\x00"))
+    w.close()
+    w.write_index()
+    with BamReader(path) as rd:
+        got = [r.read_name for r in rd.fetch("c1", 0, 1000)]
+        assert got == ["m1", "pu", "m2"]
+        got2 = [r.read_name for r in rd.fetch("c1", 140, 160)]
+        assert got2 == ["pu"]
+        # the streaming writer path sees it too
+        chunks = rd.stream_raw_window("c1", 0, 49999)
+        n = sum(len(c[1]) for c in chunks)
+        assert n == 3
+
+
+def test_stream_cursor_error_propagates(tmp_path):
+    """A decode failure mid-stream must surface as None (use the record
+    fallback), never as silent end-of-data."""
+    from hiphase_tpu.io.bam import BamReader, BamWriter, SamHeader
+
+    from tests.sim import make_bam_record
+
+    header = SamHeader("@HD\tVN:1.6\tSO:coordinate\n@RG\tID:rg1\tSM:S\n",
+                       ["c1"], [50000])
+    path = str(tmp_path / "tr.bam")
+    header = SamHeader("@HD\tVN:1.6\tSO:coordinate\n@RG\tID:rg1\tSM:S\n",
+                       ["c1"], [500000])
+    w = BamWriter(path, header)
+    rng = np.random.default_rng(3)
+    for k in range(400):
+        seq = bytes(rng.choice([65, 67, 71, 84], 400).astype(np.uint8))
+        w.write(make_bam_record(f"r{k}", 0, 100 + 700 * k, seq,
+                                [("M", 400)], tags=b"RGZrg1\x00"))
+    w.close()
+    w.write_index()
+    # corrupt a later BGZF block's payload (the header block stays intact)
+    data = bytearray(open(path, "rb").read())
+    at = (3 * len(data)) // 4
+    for d in range(16):
+        data[at + d] ^= 0xFF
+    open(path, "wb").write(bytes(data))
+    with BamReader(path) as rd:
+        out = rd.stream_raw_window("c1", 0, 499999)
+        # either the corruption hit the scanned range (None => fallback)
+        # or decode legitimately succeeded past it; it must NOT claim a
+        # clean full read with records missing
+        if out is not None:
+            n = sum(len(c[1]) for c in out)
+            assert n == 400
