@@ -1049,14 +1049,21 @@ class CramReader:
                 self._fh.seek(offset)
                 hdr = _read_container_header(self._fh)
                 for rec in self._decode_container(hdr):
-                    if rec.refid == tid and rec.pos < end \
-                            and not rec.is_unmapped \
-                            and rec.reference_end() > start:
+                    # placed-unmapped records count as length 1 at pos
+                    # (htslib semantics, matching BamReader.fetch)
+                    if rec.refid != tid or rec.pos >= end:
+                        continue
+                    rec_end = rec.pos + 1 if rec.is_unmapped else \
+                        max(rec.reference_end(), rec.pos + 1)
+                    if rec_end > start:
                         yield rec
             return
         for rec in self:
-            if rec.refid == tid and not rec.is_unmapped \
-                    and rec.pos < end and rec.reference_end() > start:
+            if rec.refid != tid or rec.pos >= end:
+                continue
+            rec_end = rec.pos + 1 if rec.is_unmapped else \
+                max(rec.reference_end(), rec.pos + 1)
+            if rec_end > start:
                 yield rec
 
     def fetch_unmapped(self):
