@@ -459,7 +459,12 @@ int64_t hn_wfa_align(const uint8_t* node_blob, const int64_t* node_off,
                      int64_t read_len, int64_t prune_distance,
                      int64_t max_edit_distance, uint8_t* traversed) {
   using Wave = std::pair<int64_t, int>;  // (offset into node seq, set index)
-  using Front = std::unordered_map<int64_t, std::vector<Wave>>;
+  // Append-only wavefront lists per node, grouped by diagonal with one
+  // sort at consume time: allocation-free in steady state (the previous
+  // per-diagonal hash maps spent most of the align time on container
+  // churn). Entry = (diagonal key, wave).
+  using Entry = std::pair<int64_t, Wave>;
+  using Front = std::vector<Entry>;
 
   const size_t words = (n_nodes + 63) / 64;
   SetPool pool;
@@ -472,7 +477,7 @@ int64_t hn_wfa_align(const uint8_t* node_blob, const int64_t* node_off,
   std::vector<Front> active(n_nodes), next(n_nodes);
   std::vector<char> active_any(n_nodes, 0), next_any(n_nodes, 0);
   std::vector<std::unordered_map<int64_t, int64_t>> maxfront(n_nodes);
-  active[0][0].push_back({0, 0});
+  active[0].push_back({0, {0, 0}});
   active_any[0] = 1;
 
   int64_t edit_distance = 0;
@@ -483,23 +488,28 @@ int64_t hn_wfa_align(const uint8_t* node_blob, const int64_t* node_off,
     for (int32_t ni = 0; ni < n_nodes; ++ni) {
       if (!active_any[ni]) continue;
       active_any[ni] = 0;
-      // iterate in place: same-step inserts only target successor nodes
-      // (topological order), and the end-of-step clear() keeps the bucket
-      // arrays alive instead of reallocating them every node visit
+      // in place: same-step inserts only target successor nodes
       Front& wavefront = active[ni];
+      std::sort(wavefront.begin(), wavefront.end(),
+                [](const Entry& a, const Entry& b) {
+                  return a.first < b.first;
+                });
       const uint8_t* seq = node_blob + node_off[ni];
       const int64_t node_len = node_off[ni + 1] - node_off[ni];
       auto& mf = maxfront[ni];
 
-      for (auto& kv : wavefront) {
-        const int64_t other_start = kv.first;
-        auto& waves = kv.second;
+      size_t gi = 0;
+      while (gi < wavefront.size()) {
+        const int64_t other_start = wavefront[gi].first;
+        size_t gj = gi;
+        while (gj < wavefront.size() && wavefront[gj].first == other_start)
+          ++gj;
         int64_t max_offset = 0;
-        for (auto& w : waves) {
+        for (size_t k = gi; k < gj; ++k) {
+          Wave& w = wavefront[k].second;
           int64_t off = w.first;
           int64_t opos = other_start + off;
-          // greedy match extension, 8 bytes per probe (HiFi reads mostly
-          // match, so this is the align hot loop)
+          // greedy match extension, 8 bytes per probe
           while (off + 8 <= node_len && opos + 8 <= read_len) {
             uint64_t a, b;
             std::memcpy(&a, seq + off, 8);
@@ -526,6 +536,7 @@ int64_t hn_wfa_align(const uint8_t* node_blob, const int64_t* node_off,
         int64_t prev_best = (mit == mf.end()) ? 0 : mit->second;
         if (max_offset < prev_best ||
             other_start + max_offset < min_progression) {
+          gi = gj;
           continue;  // dominated or pruned
         }
         mf[other_start] = max_offset;
@@ -536,14 +547,15 @@ int64_t hn_wfa_align(const uint8_t* node_blob, const int64_t* node_off,
         int best_set = -1;
         std::vector<uint64_t> uni;
         int count = 0;
-        for (auto& w : waves) {
+        for (size_t k = gi; k < gj; ++k) {
+          const Wave& w = wavefront[k].second;
           if (w.first != max_offset) continue;
           if (count == 0) {
             best_set = w.second;
           } else {
             if (count == 1) uni = pool.sets[best_set];
             const auto& other = pool.sets[w.second];
-            for (size_t k = 0; k < words; ++k) uni[k] |= other[k];
+            for (size_t q = 0; q < words; ++q) uni[q] |= other[q];
           }
           ++count;
         }
@@ -552,7 +564,7 @@ int64_t hn_wfa_align(const uint8_t* node_blob, const int64_t* node_off,
         if (max_offset == node_len) {
           if (ni == n_nodes - 1) {
             if (other_start + max_offset < read_len) {
-              next[ni][other_start + 1].push_back({max_offset, best_set});
+              next[ni].push_back({other_start + 1, {max_offset, best_set}});
               next_any[ni] = 1;
             }
           } else {
@@ -562,36 +574,36 @@ int64_t hn_wfa_align(const uint8_t* node_blob, const int64_t* node_off,
               std::vector<uint64_t> ns = pool.sets[best_set];
               ns[succ / 64] |= 1ULL << (succ % 64);
               int nsi = pool.intern(std::move(ns));
-              active[succ][new_offset].push_back({0, nsi});
+              active[succ].push_back({new_offset, {0, nsi}});
               active_any[succ] = 1;
             }
           }
         } else {
-          auto& nf = next[ni];
-          nf[other_start - 1].push_back({max_offset + 1, best_set});
+          Front& nf = next[ni];
+          nf.push_back({other_start - 1, {max_offset + 1, best_set}});
           next_any[ni] = 1;
           if (other_start + max_offset < read_len) {
-            nf[other_start].push_back({max_offset + 1, best_set});
-            nf[other_start + 1].push_back({max_offset, best_set});
+            nf.push_back({other_start, {max_offset + 1, best_set}});
+            nf.push_back({other_start + 1, {max_offset, best_set}});
           }
         }
+        gi = gj;
       }
 
       if (ni == n_nodes - 1) {
         // final check over the post-extension wavefront
         std::vector<int> finals;
-        for (auto& kv : wavefront) {
-          for (auto& w : kv.second) {
-            if (w.first == node_len && kv.first + w.first == read_len) {
-              finals.push_back(w.second);
-            }
+        for (const Entry& en : wavefront) {
+          if (en.second.first == node_len &&
+              en.first + en.second.first == read_len) {
+            finals.push_back(en.second.second);
           }
         }
         if (!finals.empty()) {
           std::vector<uint64_t> uni(words, 0);
           for (int s : finals) {
             const auto& v = pool.sets[s];
-            for (size_t k = 0; k < words; ++k) uni[k] |= v[k];
+            for (size_t q = 0; q < words; ++q) uni[q] |= v[q];
           }
           for (int32_t i = 0; i < n_nodes; ++i) {
             traversed[i] = (uni[i / 64] >> (i % 64)) & 1;
