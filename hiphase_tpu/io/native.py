@@ -393,6 +393,8 @@ def wfa_align(node_blob, node_off, edge_dst, edge_off, read,
         ctypes.c_int64(prune_distance),
         ctypes.c_int64(max_edit_distance),
         ctypes.c_void_p(traversed.ctypes.data))
+    if int(score) == -2:
+        return None  # graph too large for the native pool: host fallback
     return int(score), traversed
 
 

@@ -420,24 +420,55 @@ namespace {
 
 // Traversal-set interning for the graph WFA: sets are dynamic bitsets over
 // graph nodes, stored as word vectors and deduplicated by content.
+// Interns fixed-width bitsets in one arena with an open-addressing table:
+// zero allocations per intern in steady state (the per-transition
+// vector<uint64_t> churn of the previous map-of-vectors design was a
+// measurable share of align time).
 struct SetPool {
-  std::vector<std::vector<uint64_t>> sets;
-  struct VecHash {
-    size_t operator()(const std::vector<uint64_t>& v) const {
-      size_t h = v.size();
-      for (uint64_t x : v) h ^= x + 0x9e3779b97f4a7c15ULL + (h << 6) + (h >> 2);
-      return h;
-    }
-  };
-  std::unordered_map<std::vector<uint64_t>, int, VecHash> index;
+  size_t words;
+  std::vector<uint64_t> arena;  // id * words
+  std::vector<int> table;       // open addressing, -1 = empty
+  size_t mask;
+  int n = 0;
 
-  int intern(std::vector<uint64_t> v) {
-    auto it = index.find(v);
-    if (it != index.end()) return it->second;
-    int id = static_cast<int>(sets.size());
-    sets.push_back(v);
-    index.emplace(std::move(v), id);
-    return id;
+  explicit SetPool(size_t w) : words(w), table(1024, -1), mask(1023) {}
+
+  const uint64_t* get(int id) const {
+    return arena.data() + static_cast<size_t>(id) * words;
+  }
+
+  size_t hash_span(const uint64_t* v) const {
+    size_t h = words;
+    for (size_t i = 0; i < words; ++i)
+      h ^= v[i] + 0x9e3779b97f4a7c15ULL + (h << 6) + (h >> 2);
+    return h;
+  }
+
+  void rehash() {
+    std::vector<int> old;
+    old.swap(table);
+    table.assign((mask + 1) * 2, -1);
+    mask = table.size() - 1;
+    for (int id_ : old) {
+      if (id_ < 0) continue;
+      size_t h = hash_span(get(id_)) & mask;
+      while (table[h] != -1) h = (h + 1) & mask;
+      table[h] = id_;
+    }
+  }
+
+  int intern(const uint64_t* v) {
+    size_t h = hash_span(v) & mask;
+    while (table[h] != -1) {
+      int id_ = table[h];
+      if (std::memcmp(get(id_), v, words * 8) == 0) return id_;
+      h = (h + 1) & mask;
+    }
+    int id_ = n++;
+    arena.insert(arena.end(), v, v + words);
+    table[h] = id_;
+    if (static_cast<size_t>(n) * 2 > mask) rehash();
+    return id_;
   }
 };
 
@@ -467,11 +498,13 @@ int64_t hn_wfa_align(const uint8_t* node_blob, const int64_t* node_off,
   using Front = std::vector<Entry>;
 
   const size_t words = (n_nodes + 63) / 64;
-  SetPool pool;
+  if (words > 16) return -2;  // >1024 nodes: callers use the host fallback
+  uint64_t buf[16];
+  SetPool pool(words);
   {
-    std::vector<uint64_t> root(words, 0);
-    root[0] |= 1ULL;
-    pool.intern(std::move(root));  // set 0 = {node 0}
+    std::memset(buf, 0, words * 8);
+    buf[0] |= 1ULL;
+    pool.intern(buf);  // set 0 = {node 0}
   }
 
   std::vector<Front> active(n_nodes), next(n_nodes);
@@ -545,7 +578,6 @@ int64_t hn_wfa_align(const uint8_t* node_blob, const int64_t* node_off,
 
         // union the traversal sets of all ties at the best offset
         int best_set = -1;
-        std::vector<uint64_t> uni;
         int count = 0;
         for (size_t k = gi; k < gj; ++k) {
           const Wave& w = wavefront[k].second;
@@ -553,13 +585,14 @@ int64_t hn_wfa_align(const uint8_t* node_blob, const int64_t* node_off,
           if (count == 0) {
             best_set = w.second;
           } else {
-            if (count == 1) uni = pool.sets[best_set];
-            const auto& other = pool.sets[w.second];
-            for (size_t q = 0; q < words; ++q) uni[q] |= other[q];
+            if (count == 1)
+              std::memcpy(buf, pool.get(best_set), words * 8);
+            const uint64_t* other = pool.get(w.second);
+            for (size_t q = 0; q < words; ++q) buf[q] |= other[q];
           }
           ++count;
         }
-        if (count > 1) best_set = pool.intern(std::move(uni));
+        if (count > 1) best_set = pool.intern(buf);
 
         if (max_offset == node_len) {
           if (ni == n_nodes - 1) {
@@ -571,9 +604,9 @@ int64_t hn_wfa_align(const uint8_t* node_blob, const int64_t* node_off,
             int64_t new_offset = other_start + max_offset;
             for (int64_t e = edge_off[ni]; e < edge_off[ni + 1]; ++e) {
               int32_t succ = edge_dst[e];
-              std::vector<uint64_t> ns = pool.sets[best_set];
-              ns[succ / 64] |= 1ULL << (succ % 64);
-              int nsi = pool.intern(std::move(ns));
+              std::memcpy(buf, pool.get(best_set), words * 8);
+              buf[succ / 64] |= 1ULL << (succ % 64);
+              int nsi = pool.intern(buf);
               active[succ].push_back({new_offset, {0, nsi}});
               active_any[succ] = 1;
             }
@@ -600,13 +633,13 @@ int64_t hn_wfa_align(const uint8_t* node_blob, const int64_t* node_off,
           }
         }
         if (!finals.empty()) {
-          std::vector<uint64_t> uni(words, 0);
+          std::memset(buf, 0, words * 8);
           for (int s : finals) {
-            const auto& v = pool.sets[s];
-            for (size_t q = 0; q < words; ++q) uni[q] |= v[q];
+            const uint64_t* v = pool.get(s);
+            for (size_t q = 0; q < words; ++q) buf[q] |= v[q];
           }
           for (int32_t i = 0; i < n_nodes; ++i) {
-            traversed[i] = (uni[i / 64] >> (i % 64)) & 1;
+            traversed[i] = (buf[i / 64] >> (i % 64)) & 1;
           }
           return edit_distance;
         }
@@ -1482,6 +1515,7 @@ int64_t hn_wfa_batch(
           edge_dst.data(), edge_off.data(), read_align.data(),
           static_cast<int64_t>(read_align.size()), prune_distance,
           max_edit_distance, traversed.data());
+      if (score == -2) { out_scores[r] = -3; continue; }
       if (score < 0) { out_scores[r] = -1; continue; }
       out_scores[r] = score;
       for (int64_t k = 0; k < n_alleles; ++k) {
