@@ -9,14 +9,21 @@ numbers include process start, engine selection, reference load, and any
 persistent-cache reads — what a real user pays. Run 1 is reported
 separately (`run1_s`, `cold_over_warm`) alongside the warm best.
 
+Budget: every configuration draws from ONE shared deadline (start + 540 s),
+each additionally capped per config, so the whole bench provably fits the
+driver's `timeout 600` — a hung config yields an `error` field in its
+section, never a lost JSON line.
+
 Configurations reported:
   * local-only mode (the reference's published steady-state config) — the
     primary metric
   * dual/global-realignment mode (the SV/TR path; reference costs 2.2x
     wall in this mode, docs/performance.md:32)
-  * device-resident beam-kernel microbenchmark + node expansions/s (run in
-    a subprocess with a deadline so a degraded device link cannot hang the
-    bench; see kernel_metric_note)
+  * device mode (`--engine tpu` forced): the device pipeline's end-to-end
+    economics, measured even when `auto` would route to the host
+  * full-output mode (dual + haplotagged BAM — the heaviest real-user
+    config, the one the reference's v0.10.0 I/O thread pool targeted)
+  * device-resident beam-kernel microbenchmark + node expansions/s
 """
 
 import json
@@ -28,24 +35,38 @@ import time
 BASELINE_HETS_PER_SEC = 2068.0   # HiPhase 16-thread steady state, local mode
 BASELINE_DUAL = 2068.0 / 2.2     # dual mode costs 2.2x wall (performance.md:32)
 
+TOTAL_BUDGET_S = 540.0           # hard ceiling for the WHOLE bench
+MIN_USEFUL_S = 15.0              # don't start a config with less than this
+
 KERNEL_NOTE = (
     "kernel_hets_per_sec is a device-resident microbenchmark at the full "
     "sound beam width (W=1024): beam state stays on device across reps and "
     "a final scalar fetch proves completion (block_until_ready alone can "
-    "return early on remote backends). (r02->r03 historical note: the r03 "
-    "value measured per-call tunnel transfer latency after the tiled "
-    "rewrite, not the kernel; this restores a device-resident definition.) "
-    "node_expansions_per_sec counts generated beam candidates (the A* "
-    "node-expansion analog); e2e_node_expansions_per_sec is the same "
-    "counter from the end-to-end run's solver."
+    "return early on remote backends). node_expansions_per_sec counts "
+    "generated beam candidates (the A* node-expansion analog); "
+    "e2e_node_expansions_per_sec is the same counter from the end-to-end "
+    "run's solver."
 )
 
 
-def _run_json(cmd, timeout):
+class Budget:
+    """Shared wall-clock budget; per-call caps never exceed what's left."""
+
+    def __init__(self, total_s: float):
+        self.deadline = time.monotonic() + total_s
+
+    def grant(self, cap_s: float) -> float:
+        """Seconds this config may use: min(cap, time left)."""
+        return min(cap_s, self.deadline - time.monotonic())
+
+
+def _run_json(cmd, timeout, env=None):
     """Run a subprocess, return its last JSON stdout line (or None)."""
+    if timeout < MIN_USEFUL_S:
+        return None
     try:
         p = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=timeout)
+                           timeout=timeout, env=env)
     except subprocess.TimeoutExpired:
         return None
     for line in reversed(p.stdout.strip().splitlines()):
@@ -64,29 +85,34 @@ def kernel_metric():
 
     import jax
 
-    from hiphase_tpu.phasing.beam import beam_init_state, beam_tile
+    from hiphase_tpu.phasing.beam import (
+        PACK_PAD, beam_init_device, beam_tile_packed, pack_inputs,
+    )
 
-    B, R, W, T = 16, 128, 1024, 128
+    B = int(os.environ.get("HIPHASE_TPU_KERNEL_B", "64"))
+    R, W, T = 128, 1024, 128
     rng = np.random.default_rng(0)
     alleles = rng.integers(0, 2, size=(B, R, T)).astype(np.uint8)
     quals = rng.integers(20, 80, size=(B, R, T)).astype(np.int32)
     skip = np.zeros((B, T), dtype=bool)
     resets = np.zeros((B, R, T), dtype=bool)
-    import numpy as _np
-    dev_in = [jax.device_put(x) for x in (alleles, quals, skip, resets)]
-    state = tuple(jax.device_put(s) for s in beam_init_state(B, R, W))
-    state, _ = beam_tile(state, *dev_in, beam_width=W)  # compile
-    _np.asarray(state[3][:, 0])  # warm; also proves completion
-    reps = 16
+    packed = np.pad(pack_inputs(alleles, quals, resets),
+                    ((0, 0), (0, 0), (0, 1)), constant_values=PACK_PAD)
+    packed_d = jax.device_put(packed)
+    skip_d = jax.device_put(skip)
+    state = beam_init_device(B, R, W)
+    state, _ = beam_tile_packed(state, packed_d, skip_d, beam_width=W)
+    np.asarray(state[2][:, 0])  # warm; also proves completion
+    reps = 8
     best = float("inf")
     for _trial in range(3):
         st = state
         t0 = time.perf_counter()
         for _ in range(reps):
-            st, _ys = beam_tile(st, *dev_in, beam_width=W)
+            st, _ys = beam_tile_packed(st, packed_d, skip_d, beam_width=W)
         # fetch a scalar slice: on remote backends block_until_ready can
         # return before execution finishes; a materialized value cannot lie
-        _np.asarray(st[3][:, 0])
+        np.asarray(st[2][:, 0])
         best = min(best, (time.perf_counter() - t0) / reps)
     return {
         "kernel_hets_per_sec": round(B * T / best, 1),
@@ -107,6 +133,8 @@ def main():
                     help="fresh-process warm reps after run 1")
     ap.add_argument("--skip-kernel", action="store_true")
     ap.add_argument("--skip-global", action="store_true")
+    ap.add_argument("--skip-device", action="store_true")
+    ap.add_argument("--skip-full-output", action="store_true")
     ap.add_argument("--kernel-only", action="store_true",
                     help=argparse.SUPPRESS)
     args = ap.parse_args()
@@ -119,21 +147,16 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     e2e = os.path.join(here, "bench_e2e.py")
 
+    budget = Budget(TOTAL_BUDGET_S)
+
     # build the dataset once so run 1 times the pipeline, not the simulator
     import bench_e2e
     bench_e2e.ensure_dataset(bench_e2e.build_args(["--mb", str(args.mb)]))
 
     base_cmd = [sys.executable, e2e, "--mb", str(args.mb)]
-    # shared deadline: the WHOLE bench must fit a driver-side `timeout 600`,
-    # so later reps get whatever budget earlier (possibly hung) reps left
-    deadline = time.monotonic() + 360
     attempts = []
     for _ in range(1 + args.reps):
-        left = deadline - time.monotonic()
-        if left < 20:
-            attempts.append(None)
-            continue
-        attempts.append(_run_json(base_cmd, timeout=left))
+        attempts.append(_run_json(base_cmd, timeout=budget.grant(60)))
     runs = [r for r in attempts if r is not None]
     if not runs:
         print(json.dumps({"metric": "e2e_phased_hets_per_sec", "value": 0,
@@ -166,7 +189,7 @@ def main():
         out["warm_best_s"] = round(warm_best, 2)
         out["cold_over_warm"] = round(run1 / warm_best, 2)
     else:
-        out["run1_error"] = "cold run failed or timed out (>420s)"
+        out["run1_error"] = "cold run failed or timed out"
     if len(runs) < len(attempts):
         out["failed_reps"] = len(attempts) - len(runs)
     if best_run.get("node_expansions"):
@@ -177,8 +200,7 @@ def main():
                 best_run["node_expansions"] / sol, 1)
 
     if not args.skip_global:
-        g = _run_json(base_cmd + ["--global"],
-                      timeout=max(deadline + 120 - time.monotonic(), 20))
+        g = _run_json(base_cmd + ["--global"], timeout=budget.grant(100))
         if g is not None:
             out["global_mode"] = {
                 "e2e_phased_hets_per_sec": g["value"],
@@ -186,13 +208,47 @@ def main():
                 "vs_local": round(g["elapsed_s"] / warm_best, 2),
                 "vs_dual_baseline": round(g["value"] / BASELINE_DUAL, 3),
             }
+        else:
+            out["global_mode"] = {"error": "timed out or failed"}
+
+    if not args.skip_full_output:
+        # dual + haplotagged BAM: the heaviest real-user configuration
+        f = _run_json(base_cmd + ["--global", "--output-bam"],
+                      timeout=budget.grant(120))
+        if f is not None:
+            out["full_output_mode"] = {
+                "e2e_phased_hets_per_sec": f["value"],
+                "elapsed_s": f["elapsed_s"],
+                "vs_local": round(f["elapsed_s"] / warm_best, 2),
+                "vs_baseline": round(f["value"] / BASELINE_HETS_PER_SEC, 3),
+            }
+        else:
+            out["full_output_mode"] = {"error": "timed out or failed"}
+
+    if not args.skip_device:
+        # forced-device e2e: measures the device pipeline's transfer
+        # economics every round, even when `auto` routes to the host
+        d = _run_json(base_cmd + ["--engine", "tpu"],
+                      timeout=budget.grant(120))
+        if d is not None:
+            dm = {
+                "e2e_phased_hets_per_sec": d["value"],
+                "elapsed_s": d["elapsed_s"],
+                "vs_local": round(d["elapsed_s"] / warm_best, 2),
+                "degraded": bool(d.get("degraded")),
+            }
+            for k in ("device_batches", "device_transfers",
+                      "transfers_per_batch"):
+                if d.get(k) is not None:
+                    dm[k] = d[k]
+            out["device_mode"] = dm
+        else:
+            out["device_mode"] = {"error": "timed out or failed "
+                                           "(degraded device link)"}
 
     if not args.skip_kernel:
-        # bounded tightly: the whole bench must fit a driver-side
-        # `timeout 600`, and a hung device link must cost minutes of margin,
-        # not the budget
         k = _run_json([sys.executable, os.path.abspath(__file__),
-                       "--kernel-only"], timeout=180)
+                       "--kernel-only"], timeout=budget.grant(120))
         if k is None:
             out["kernel_hets_per_sec"] = None
             out["kernel_error"] = ("device kernel bench timed out or "

@@ -133,7 +133,9 @@ def main(argv=None):
     }
     out.update({k: v for k, v in LAST_RUN_STATS.items()
                 if k in ("engine", "node_expansions", "solve_seconds",
-                         "degraded", "phasing_seconds", "stage_seconds")})
+                         "degraded", "phasing_seconds", "stage_seconds",
+                         "device_batches", "device_transfers",
+                         "transfers_per_batch")})
     print(json.dumps(out))
     return 0
 

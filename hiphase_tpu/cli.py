@@ -663,6 +663,16 @@ def _main(argv=None) -> int:
             node_expansions=native_solver.total_expansions,
             solve_seconds=native_solver.solve_seconds,
             degraded=getattr(device_solver, "degraded", False))
+        # device transfer economics (unwrap Deferred/Resilient wrappers)
+        bds = device_solver
+        for attr in ("_sol", "_device"):
+            bds = getattr(bds, attr, bds)
+        nb = getattr(bds, "device_batches", 0)
+        if nb:
+            LAST_RUN_STATS.update(
+                device_batches=nb,
+                device_transfers=bds.device_transfers,
+                transfers_per_batch=round(bds.device_transfers / nb, 2))
     LAST_RUN_STATS["stage_seconds"] = {
         k: round(v, 3) for k, v in stage_s.items()}
     return 0

@@ -39,8 +39,9 @@ import numpy as np
 
 from hiphase_tpu.phasing.astar import astar_solver
 from hiphase_tpu.phasing.beam import (
-    assign_slots, beam_init_state, max_hets_for, pack_job_stats,
-    tensorize_block, tiles_backtrace, tiles_forward, unpack_job_stats,
+    PACK_PAD, assign_slots, beam_init_device, max_hets_for, pack_inputs,
+    pack_job_stats, tensorize_block, tiles_backtrace_device,
+    tiles_forward_packed, unpack_job_stats,
 )
 from hiphase_tpu.phasing.phaser import BlockData, finalize_block
 from hiphase_tpu.core.variants import AlleleType, VariantType
@@ -109,10 +110,8 @@ def _stats_from_beam(data: BlockData, h1, h2, cost: int, pruned: int,
 @dataclass
 class _Pending:
     data: BlockData
-    alleles: np.ndarray
-    quals: np.ndarray
-    skip: np.ndarray
-    resets: np.ndarray
+    packed: np.ndarray          # [rb, vp] int32 (see beam.pack_inputs)
+    skip: np.ndarray            # [vp] bool
 
 
 @dataclass
@@ -121,7 +120,7 @@ class _Job:
 
     pending: list[_Pending]
     width: int
-    skip: np.ndarray            # [B, Vp] host copy for the backtrace
+    skip_d: object              # [B, Vp] bool, DEVICE-resident
     stats: object               # device-packed (cost, hets, cnt, dmin)
     traces: list                # per tile: (parents, choices, cnt, dmin)
     escalated: bool = False
@@ -149,6 +148,9 @@ class BatchedDeviceSolver:
         self._buckets: dict[int, list[_Pending]] = {}
         self._esc_buckets: dict[int, list[_Pending]] = {}
         self._jobs: deque[_Job] = deque()
+        # transfer economics telemetry (surfaced in bench device_mode)
+        self.device_batches = 0
+        self.device_transfers = 0
         self._sharding = None
         self._n_dev = 1
         try:
@@ -190,7 +192,8 @@ class BatchedDeviceSolver:
         alleles, quals, skip, resets = tensorize_block(
             data.read_segments, data.variants, rb, vp, slotted=True)
         bucket = self._buckets.setdefault(rb, [])
-        bucket.append(_Pending(data, alleles, quals, skip, resets))
+        bucket.append(_Pending(data, pack_inputs(alleles, quals, resets),
+                               skip))
         out = []
         if len(bucket) >= self._batch_size_for(rb):
             self._dispatch(self._buckets.pop(rb), rb, self.fast_width)
@@ -199,46 +202,55 @@ class BatchedDeviceSolver:
         return out
 
     def _device_put(self, arr):
+        """One explicit host->device transfer (sharded when on a mesh).
+        Always an actual device_put: downstream device-side slicing must
+        see a committed device array, never re-upload a host array."""
+        import jax
         if self._sharding is not None:
-            import jax
             return jax.device_put(arr, self._sharding)
-        return arr
+        return jax.device_put(arr)
 
     def _dispatch(self, pending: list[_Pending], rb: int, width: int,
                   escalated: bool = False) -> None:
         """Pad a bucket to its fixed batch size and enqueue the tile chain
-        on the device (non-blocking)."""
+        on the device (non-blocking). The whole batch crosses the link in
+        TWO transfers (packed inputs + skip) no matter how many tiles it
+        spans; the zero-filled beam state is created on the device."""
         B = self._batch_size_for(rb)
         assert len(pending) <= B
-        vp = max(p.alleles.shape[1] for p in pending)
-        A = np.full((B, rb, vp), 3, dtype=np.uint8)
-        Q = np.zeros((B, rb, vp), dtype=np.int32)
+        vp = max(p.packed.shape[1] for p in pending)
+        # vp+1 columns: the trailing PACK_PAD column feeds the last tile's
+        # lookahead reset plane (see beam.tiles_forward_packed)
+        PK = np.full((B, rb, vp + 1), PACK_PAD, dtype=np.int32)
         S = np.ones((B, vp), dtype=bool)
-        RS = np.zeros((B, rb, vp), dtype=bool)
         for i, p in enumerate(pending):
-            v = p.alleles.shape[1]
-            A[i, :, :v], Q[i, :, :v] = p.alleles, p.quals
-            S[i, :v], RS[i, :, :v] = p.skip, p.resets
-        state = tuple(self._device_put(s) for s in beam_init_state(B, rb, width))
-        state, traces = tiles_forward(state, A, Q, S, RS, width, self.tile,
-                                      put=self._device_put)
-        self._jobs.append(_Job(pending, width, S, pack_job_stats(state, traces),
-                               traces, escalated))
+            v = p.packed.shape[1]
+            PK[i, :, :v] = p.packed
+            S[i, :v] = p.skip
+        packed_d = self._device_put(PK)
+        skip_d = self._device_put(S)
+        self.device_batches += 1
+        self.device_transfers += 2
+        state = beam_init_device(B, rb, width, self._sharding)
+        state, traces = tiles_forward_packed(state, packed_d, skip_d, width,
+                                             self.tile)
+        self._jobs.append(_Job(pending, width, skip_d,
+                               pack_job_stats(state, traces), traces,
+                               escalated))
 
     def _materialize(self, job: _Job):
         """Block on a dispatched batch (one stats transfer + one haplotype
         transfer), backtrace on device, and finalize; blocks that aren't
         provably optimal at the fast width re-enter at full width."""
         cost, _hets, pruned = unpack_job_stats(np.asarray(job.stats))
-        h1a, h2a = tiles_backtrace(job.traces, job.skip, self.tile,
-                                   put=self._device_put)
+        h1a, h2a = tiles_backtrace_device(job.traces, job.skip_d, self.tile)
 
         out = []
         for i, p in enumerate(job.pending):
             blk_pruned = int(pruned[i])
             if (blk_pruned > 0 and not job.escalated
                     and self.full_width > job.width):
-                rb = p.alleles.shape[0]
+                rb = p.packed.shape[0]
                 esc = self._esc_buckets.setdefault(rb, [])
                 esc.append(p)
                 if len(esc) >= self._batch_size_for(rb):

@@ -20,8 +20,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hiphase_tpu.phasing.beam import (
-    beam_init_state, pack_job_stats, tiles_backtrace, tiles_forward,
-    unpack_job_stats,
+    beam_init_device, pack_inputs, pack_job_stats, tiles_backtrace_device,
+    tiles_forward_packed, unpack_job_stats,
 )
 
 
@@ -58,15 +58,17 @@ def solve_blocks_sharded(mesh: Mesh, alleles: np.ndarray, quals: np.ndarray,
         resets = np.pad(resets, pad)
         skip = np.pad(skip, ((0, 0), (0, Vp - V)), constant_values=True)
 
-    def put(arr):
-        return jax.device_put(arr, sharding)
-
-    state = tuple(put(s) for s in beam_init_state(B, R, beam_width))
-    state, traces = tiles_forward(state, alleles, quals, skip, resets,
-                                  beam_width, T, put=put)
+    from hiphase_tpu.phasing.beam import PACK_PAD
+    packed = np.pad(pack_inputs(alleles, quals, resets),
+                    ((0, 0), (0, 0), (0, 1)), constant_values=PACK_PAD)
+    packed_d = jax.device_put(packed, sharding)
+    skip_d = jax.device_put(skip, sharding)
+    state = beam_init_device(B, R, beam_width, sharding)
+    state, traces = tiles_forward_packed(state, packed_d, skip_d,
+                                         beam_width, T)
     cost, hets, pruned = unpack_job_stats(
         np.asarray(pack_job_stats(state, traces)))
-    h1, h2 = tiles_backtrace(traces, skip, T, put=put)
+    h1, h2 = tiles_backtrace_device(traces, skip_d, T)
     h1, h2 = h1[:, :V], h2[:, :V]
     summary = {
         "total_cost": int(cost.sum()),

@@ -15,9 +15,9 @@ order), with expansion order 0|1, 1|0, 0/0, 1/1 and the 1|0 twin suppressed
 while a node's haplotypes are identical (symmetry breaking,
 ref: astar_phaser.rs:535-560).
 
-The device program is **variant-tiled**: one jitted ``beam_tile`` advances
-the beam over a fixed-size window of variant columns and returns the
-backtrace slices for those columns to the host. The beam state (per-slot
+The device program is **variant-tiled**: one jitted ``beam_tile_packed``
+advances the beam over a fixed-size window of variant columns and returns
+the backtrace slices for those columns to the host. The beam state (per-slot
 running costs, totals, flags) is carried across tile calls, so a block of
 ANY variant count runs through ONE compiled program shape — there is no
 re-lowering per block size and no upper bound on block length (this replaces
@@ -106,37 +106,55 @@ def _step(state, inputs, beam_width: int):
     """One lockstep beam extension over a single variant column.
 
     Slot semantics: the R axis indexes read *slots*, not reads. A slot is
-    reused by successive non-overlapping reads; ``reset_j`` marks slots whose
-    previous read has ended — their running min(c1, c2) is folded into the
-    per-node ``frozen`` cost and the slot restarts at zero (the tensorized
-    analog of the reference's frozen/fluid split, ref: astar_phaser.rs:89-108).
+    reused by successive non-overlapping reads; ``reset_next`` marks slots
+    whose read ends before the NEXT column — their contribution is folded
+    into the candidate's scalar base cost at the end of this step
+    (lookahead folding), so the per-slot state is written exactly once per
+    column (the tensorized analog of the reference's frozen/fluid split,
+    ref: astar_phaser.rs:89-108).
+
+    Delta-cost formulation: instead of carrying both haplotype cost vectors
+    (c1, c2) per slot, carry ``delta = c1 − c2`` and the scalar
+    ``fbase = frozen + Σ_r c2_r``. Identities used:
+      min(c1, c2)          = c2 + min(delta, 0)
+      total cost           = frozen + Σ min(c1, c2) = fbase + Σ min(delta, 0)
+      fold of slot r       : frozen += c2_r + min(δ_r,0); Σc2 −= c2_r
+                             ⇒ fbase += min(δ_r, 0)   (the c2_r cancels!)
+      extension by (d1,d2) : delta += d1 − d2; fbase += Σ d2
+    This HALVES the per-slot state the selection gather must permute —
+    measured on v5e, that gather is the step's dominant cost (per-index
+    bound, see scripts/ablate_beam.py / ablate_gather.py).
     """
-    c1, c2, frozen, cost, hets, identical, valid = state
+    delta, fbase, cost, hets, identical, valid = state
     # a_j: [B, R] slot alleles at this variant; q_j: [B, R] int32 quals
-    a_j, q_j, skip, reset_j = inputs  # skip: [B] bool; reset_j: [B, R] bool
-    B, W, R = c1.shape
+    a_j, q_j, skip, reset_next = inputs  # skip: [B]; reset_next: [B, R]
+    B, W, R = delta.shape
 
-    # freeze finished reads before evaluating this column
-    fold = jnp.where(reset_j[:, None, :], jnp.minimum(c1, c2), 0)
-    frozen = frozen + jnp.sum(fold, axis=-1, dtype=jnp.int32)  # [B, W]
-    keep = ~reset_j[:, None, :]
-    c1 = jnp.where(keep, c1, 0)
-    c2 = jnp.where(keep, c2, 0)
+    # Parent-independent per-column quantities. ``qe`` gates skipped
+    # columns to zero cost so all four children tie at the parent's total
+    # (the reference extends ignored variants as Ambiguous/Ambiguous at
+    # equal cost, ref: astar_phaser.rs:517-531).
+    qe = jnp.where(skip[:, None], 0, q_j)                       # [B, R]
+    q_if0 = jnp.where(a_j == 0, qe, 0)    # cost of hap-allele 1 at slot
+    q_if1 = jnp.where(a_j == 1, qe, 0)    # cost of hap-allele 0 at slot
+    e0 = q_if1 - q_if0                    # d1 − d2 for choice 0 (0|1)
+    sum_q0 = jnp.sum(q_if0, axis=-1, dtype=jnp.int32)           # [B]
+    sum_q1 = jnp.sum(q_if1, axis=-1, dtype=jnp.int32)
+    # D2[c] = Σ_r d2_r(c); a2 per choice is [1, 0, 0, 1]
+    D2 = jnp.stack([sum_q0, sum_q1, sum_q1, sum_q0], axis=-1)   # [B, 4]
 
-    fluid = jnp.sum(jnp.minimum(c1, c2), axis=-1, dtype=jnp.int32)  # [B, W]
-    cand_cost = []
-    for c in range(4):
-        d1 = jnp.where(a_j != _choice_a1(c), q_j, 0)  # [B, R]; unset q=0
-        d2 = jnp.where(a_j != _choice_a2(c), q_j, 0)
-        total = frozen + jnp.sum(
-            jnp.minimum(c1 + d1[:, None, :], c2 + d2[:, None, :]),
-            axis=-1, dtype=jnp.int32)  # [B, W]
-        cand_cost.append(total)
-    cand_cost = jnp.stack(cand_cost, axis=-1)  # [B, W, 4]
-    # skipped variants extend with Ambiguous/Ambiguous at unchanged cost
-    skip_cost = frozen + fluid
-    cand_cost = jnp.where(skip[:, None, None], skip_cost[:, :, None],
-                          cand_cost)
+    # one fused read pass over delta: the three min-sum reductions
+    m0 = jnp.sum(jnp.minimum(delta, 0), axis=-1, dtype=jnp.int32)
+    mp = jnp.sum(jnp.minimum(delta + e0[:, None, :], 0), axis=-1,
+                 dtype=jnp.int32)
+    mm = jnp.sum(jnp.minimum(delta - e0[:, None, :], 0), axis=-1,
+                 dtype=jnp.int32)
+    cand_cost = jnp.stack([
+        fbase + D2[:, 0:1] + mp,   # 0|1
+        fbase + D2[:, 1:2] + mm,   # 1|0
+        fbase + D2[:, 2:3] + m0,   # 0/0
+        fbase + D2[:, 3:4] + m0,   # 1/1
+    ], axis=-1)  # [B, W, 4]
 
     choice_ids = jax.lax.broadcasted_iota(jnp.int32, (B, W, 4), 2)
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (B, W, 4), 1)
@@ -183,19 +201,24 @@ def _step(state, inputs, beam_width: int):
     discard_min = sorted_cost[:, beam_width] if W * 4 > beam_width \
         else jnp.full((B,), BIG, dtype=jnp.int32)
 
-    # gather the survivors' per-read costs and roll the deltas in
-    pc1 = c1[bidx, sel_parent]  # [B, W, R]
-    pc2 = c2[bidx, sel_parent]
-    new_frozen = frozen[bidx, sel_parent]
-    sa1 = _choice_a1(sel_choice)  # [B, W]
-    sa2 = _choice_a2(sel_choice)
-    d1 = jnp.where(a_j[:, None, :] != sa1[:, :, None], q_j[:, None, :], 0)
-    d2 = jnp.where(a_j[:, None, :] != sa2[:, :, None], q_j[:, None, :], 0)
-    nskip = ~skip[:, None, None]
-    new_c1 = pc1 + jnp.where(nskip, d1, 0)
-    new_c2 = pc2 + jnp.where(nskip, d2, 0)
+    # gather the survivors' per-slot deltas (the step's dominant cost —
+    # ONE [B, W, R] array in the delta formulation) and roll the chosen
+    # extension in; e(c) is +e0 for 0|1, −e0 for 1|0, 0 for homs/skips
+    pdelta = delta[bidx, sel_parent]  # [B, W, R]
+    sgn = jnp.where(sel_choice == 0, 1,
+                    jnp.where(sel_choice == 1, -1, 0))      # [B, W]
+    new_delta = pdelta + sgn[:, :, None] * e0[:, None, :]
+    new_fbase = fbase[bidx, sel_parent] + D2[bidx, sel_choice]
 
-    new_state = (new_c1, new_c2, new_frozen, new_cost, new_hets, new_ident,
+    # lookahead fold: slots whose read ends before the next column fold
+    # min(delta, 0) into the scalar base and restart at zero
+    rn = reset_next[:, None, :]
+    new_fbase = new_fbase + jnp.sum(
+        jnp.where(rn, jnp.minimum(new_delta, 0), 0), axis=-1,
+        dtype=jnp.int32)
+    new_delta = jnp.where(rn, 0, new_delta)
+
+    new_state = (new_delta, new_fbase, new_cost, new_hets, new_ident,
                  new_valid)
     return new_state, (sel_parent.astype(jnp.int16),
                        sel_choice.astype(jnp.int8),
@@ -204,12 +227,12 @@ def _step(state, inputs, beam_width: int):
 
 def beam_init_state(batch: int, num_slots: int, beam_width: int):
     """Fresh beam state for a batch (numpy; transferred/sharded on first
-    tile call)."""
+    tile call). Layout: (delta [B,W,R], fbase [B,W], cost, hets,
+    identical, valid) — see the delta-cost formulation in `_step`."""
     B, R, W = batch, num_slots, beam_width
     valid = np.zeros((B, W), dtype=bool)
     valid[:, 0] = True
     return (np.zeros((B, W, R), dtype=np.int32),
-            np.zeros((B, W, R), dtype=np.int32),
             np.zeros((B, W), dtype=np.int32),
             np.zeros((B, W), dtype=np.int32),
             np.zeros((B, W), dtype=np.int32),
@@ -217,27 +240,126 @@ def beam_init_state(batch: int, num_slots: int, beam_width: int):
             valid)
 
 
+_INIT_CACHE: dict = {}
+
+
+def beam_init_device(batch: int, num_slots: int, beam_width: int,
+                     sharding=None):
+    """Fresh beam state created ON the device (optionally sharded) — the
+    `4·B·W·R` bytes of zeros never cross the host↔device link. Jitted
+    constructors are cached per (shape, sharding)."""
+    key = (batch, num_slots, beam_width, sharding)
+    fn = _INIT_CACHE.get(key)
+    if fn is None:
+        def make():
+            c = jnp.zeros((batch, beam_width, num_slots), jnp.int32)
+            z = jnp.zeros((batch, beam_width), jnp.int32)
+            ident = jnp.ones((batch, beam_width), bool)
+            valid = jax.lax.broadcasted_iota(
+                jnp.int32, (batch, beam_width), 1) == 0
+            return (c, z, z, z, ident, valid)
+        out_sh = None if sharding is None else (sharding,) * 6
+        fn = jax.jit(make, out_shardings=out_sh)
+        _INIT_CACHE[key] = fn
+    return fn()
+
+
+# ---------------------------------------------------------------------------
+# Packed single-transfer input path. Per-element bit layout of one int32:
+#   bits 0-15  qual (flip cost; callers' quality ladder tops out at 160)
+#   bits 16-17 allele (0/1 set, 2 ambiguous, 3 no-overlap)
+#   bit  18    reset (slot handoff before this column)
+# One [B, R, V] int32 array + one [B, V] skip array = TWO host->device
+# transfers per batch, independent of how many tiles the batch spans —
+# transfer COUNT (latency), not bytes, is what a tunneled link punishes.
+
+QUAL_BITS = 16
+QUAL_MASK = (1 << QUAL_BITS) - 1
+
+
+def pack_inputs(alleles: np.ndarray, quals: np.ndarray,
+                resets: np.ndarray) -> np.ndarray:
+    """Pack (alleles, quals, resets) into one int32 array (see layout)."""
+    quals = np.asarray(quals)
+    assert quals.size == 0 or int(quals.max()) <= QUAL_MASK
+    return (quals.astype(np.int32)
+            | (np.asarray(alleles).astype(np.int32) << QUAL_BITS)
+            | (np.asarray(resets).astype(np.int32) << (QUAL_BITS + 2)))
+
+
+# packed value of a padding cell: allele 3 (no overlap), qual 0, no reset
+PACK_PAD = 3 << QUAL_BITS
+
+
 @functools.partial(jax.jit, static_argnames=("beam_width",))
-def beam_tile(state, alleles, quals, skip, resets, beam_width: int):
-    """Advance the beam over one tile of variant columns.
+def beam_tile_packed(state, packed, skip, beam_width: int):
+    """Advance the beam over one tile of T variant columns.
 
     Args:
-      state: carried beam state from `beam_init_state` / a prior tile.
-      alleles: [B, R, T] uint8 — 0/1 set, 2 ambiguous, 3 no-overlap.
-      quals:   [B, R, T] int32 — flip costs; 0 wherever allele unset.
-      skip:    [B, T] bool — ignored variants and padding columns.
-      resets:  [B, R, T] bool — slot handoffs (fold + restart before column).
+      state: carried beam state (`beam_init_state` / `beam_init_device` /
+        a prior tile).
+      packed: [B, R, T+1] int32 — see `pack_inputs`. Columns 0..T−1 are
+        scored; column j+1's RESET bit folds at the end of step j
+        (lookahead folding), which is why one extra column rides along.
+      skip: [B, T] bool — ignored variants and padding columns.
       beam_width: static beam width.
 
     Returns (state, (parents [T,B,W] i16, choices [T,B,W] i8,
     pruned_cnt [T,B] i32, discard_min [T,B] i32)).
     """
-    xs = (jnp.moveaxis(alleles.astype(jnp.int32), 2, 0),   # [T, B, R]
-          jnp.moveaxis(quals.astype(jnp.int32), 2, 0),
-          jnp.moveaxis(skip, 1, 0),                         # [T, B]
-          jnp.moveaxis(resets, 2, 0))                       # [T, B, R]
+    T = skip.shape[1]
+    assert packed.shape[2] == T + 1, (packed.shape, T)
+    cols = packed[:, :, :T]
+    alleles = (cols >> QUAL_BITS) & 3
+    quals = cols & QUAL_MASK
+    reset_next = ((packed[:, :, 1:] >> (QUAL_BITS + 2)) & 1).astype(bool)
+    xs = (jnp.moveaxis(alleles, 2, 0),
+          jnp.moveaxis(quals, 2, 0),
+          jnp.moveaxis(skip, 1, 0),
+          jnp.moveaxis(reset_next, 2, 0))
     step = functools.partial(_step, beam_width=beam_width)
     return jax.lax.scan(step, state, xs)
+
+
+def tiles_forward_packed(state, packed_d, skip_d, beam_width: int,
+                         tile: int):
+    """Forward tile chain over DEVICE-resident packed inputs. Tile slices
+    are cut on the device (`lax.slice_in_dim` on committed arrays), so the
+    chain costs zero additional host->device transfers; every tile is still
+    the ONE compiled `beam_tile_packed` shape.
+
+    ``packed_d`` must carry Vp+1 columns (a trailing PACK_PAD column), the
+    +1 feeding each tile's lookahead reset plane."""
+    Vp = skip_d.shape[1]
+    assert packed_d.shape[2] == Vp + 1, (packed_d.shape, Vp)
+    traces = []
+    for t0 in range(0, Vp, tile):
+        pk = jax.lax.slice_in_dim(packed_d, t0, t0 + tile + 1, axis=2)
+        sk = jax.lax.slice_in_dim(skip_d, t0, t0 + tile, axis=1)
+        state, ys = beam_tile_packed(state, pk, sk, beam_width=beam_width)
+        traces.append(ys)
+    return state, traces
+
+
+def tiles_backtrace_device(traces, skip_d, tile: int
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """`tiles_backtrace` over a DEVICE-resident skip array; one device→host
+    transfer for the packed haplotypes."""
+    B = skip_d.shape[0]
+    slot = jnp.zeros(B, dtype=jnp.int32)
+    h1_parts = []
+    h2_parts = []
+    for i in range(len(traces) - 1, -1, -1):
+        parents, choices = traces[i][0], traces[i][1]
+        sk = jax.lax.slice_in_dim(skip_d, i * tile, (i + 1) * tile, axis=1)
+        slot, h1t, h2t = backtrace_tile(slot, parents, choices, sk)
+        h1_parts.append(h1t)
+        h2_parts.append(h2t)
+    h1_parts.reverse()
+    h2_parts.reverse()
+    packed = np.asarray(jnp.concatenate(h1_parts + h2_parts, axis=0))
+    Vp = packed.shape[0] // 2
+    return packed[:Vp].T, packed[Vp:].T
 
 
 @jax.jit
@@ -266,53 +388,11 @@ def backtrace_tile(slot, parents, choices, skip):
     return slot, h1, h2
 
 
-def tiles_forward(state, alleles, quals, skip, resets, beam_width: int,
-                  tile: int, put=lambda x: x):
-    """Run the forward tile chain; returns (state, traces) with traces
-    device-resident (one (parents, choices, pruned_cnt, discard_min) tuple
-    per tile). ``put`` places host arrays (e.g. with a mesh sharding)."""
-    Vp = alleles.shape[2]
-    traces = []
-    for t0 in range(0, Vp, tile):
-        sl = slice(t0, t0 + tile)
-        state, ys = beam_tile(state, put(alleles[:, :, sl]),
-                              put(quals[:, :, sl]), put(skip[:, sl]),
-                              put(resets[:, :, sl]), beam_width=beam_width)
-        traces.append(ys)
-    return state, traces
-
-
-def tiles_backtrace(traces, skip, tile: int, put=lambda x: x
-                    ) -> tuple[np.ndarray, np.ndarray]:
-    """Device backtrace over the stored tile traces (newest first); returns
-    host (h1, h2) each [B, Vp] uint8.
-
-    All per-tile haplotype slices stay on device and come back in ONE
-    transfer — device→host round-trips are latency-bound on tunneled
-    backends, so transfer count (not bytes) is what this minimizes."""
-    B = skip.shape[0]
-    slot = put(np.zeros(B, dtype=np.int32))
-    h1_parts = []
-    h2_parts = []
-    for i in range(len(traces) - 1, -1, -1):
-        parents, choices = traces[i][0], traces[i][1]
-        sl = slice(i * tile, (i + 1) * tile)
-        slot, h1t, h2t = backtrace_tile(slot, parents, choices,
-                                        put(skip[:, sl]))
-        h1_parts.append(h1t)
-        h2_parts.append(h2t)
-    h1_parts.reverse()
-    h2_parts.reverse()
-    packed = np.asarray(jnp.concatenate(h1_parts + h2_parts, axis=0))
-    Vp = packed.shape[0] // 2
-    return packed[:Vp].T, packed[Vp:].T
-
-
 def pack_job_stats(state, traces):
     """Device-side packing of (cost, hets, pruned_cnt, discard_min) into one
     int32 array [2 + 2·Vp, B] so materialization is a single transfer."""
-    cost = state[3][:, 0].astype(jnp.int32)
-    hets = state[4][:, 0].astype(jnp.int32)
+    cost = state[2][:, 0].astype(jnp.int32)
+    hets = state[3][:, 0].astype(jnp.int32)
     cnt = [t[2] for t in traces]
     dmin = [t[3] for t in traces]
     return jnp.concatenate([cost[None], hets[None]] + cnt + dmin, axis=0)
@@ -371,12 +451,16 @@ def beam_solve_batch(alleles, quals, skip, beam_width: int = 256,
         resets = np.pad(resets, pad)
         skip = np.pad(skip, ((0, 0), (0, Vp - V)), constant_values=True)
 
-    state = beam_init_state(B, R, beam_width)
-    state, traces = tiles_forward(state, alleles, quals, skip, resets,
-                                  beam_width, T)
+    state = beam_init_device(B, R, beam_width)
+    packed = np.pad(pack_inputs(alleles, quals, resets),
+                    ((0, 0), (0, 0), (0, 1)), constant_values=PACK_PAD)
+    packed_d = jax.device_put(packed)
+    skip_d = jax.device_put(skip)
+    state, traces = tiles_forward_packed(state, packed_d, skip_d,
+                                         beam_width, T)
     cost, hets, pruned = unpack_job_stats(
         np.asarray(pack_job_stats(state, traces)))
-    h1, h2 = tiles_backtrace(traces, skip, T)
+    h1, h2 = tiles_backtrace_device(traces, skip_d, T)
     return h1[:, :V], h2[:, :V], cost, hets, pruned
 
 
