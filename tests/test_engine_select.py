@@ -134,3 +134,49 @@ def test_deferred_upgrade_ignores_unresolved_probe():
     results.extend(solver.drain())
     got = sorted(pr.phase_block.block_index for pr, _hr in results)
     assert got == list(range(4))
+
+
+def test_choose_engine_measured_rates_device_wins(monkeypatch):
+    """'auto' routes on MEASURED economics: a device that beats the native
+    rate by the margin is chosen even on a high-latency link (the old 5ms
+    constant must not veto a fast device)."""
+    from hiphase_tpu.parallel import engine_select as es
+
+    monkeypatch.setattr(es, "probe_accelerator", lambda **_: (True, 0.030))
+    monkeypatch.setattr(es, "measure_engine_rates",
+                        lambda **_: {"device": 100_000.0, "native": 9_000.0})
+    assert es.choose_engine("auto") == "tpu"
+
+
+def test_choose_engine_measured_rates_native_wins(monkeypatch):
+    """...and a device that measures slower than the host is rejected even
+    on a low-latency link."""
+    from hiphase_tpu.parallel import engine_select as es
+
+    if not native.available():
+        pytest.skip("native library not built")
+    monkeypatch.setattr(es, "probe_accelerator", lambda **_: (True, 0.0001))
+    monkeypatch.setattr(es, "measure_engine_rates",
+                        lambda **_: {"device": 5_000.0, "native": 9_000.0})
+    assert es.choose_engine("auto") == "native"
+
+
+def test_choose_engine_latency_fallback(monkeypatch):
+    """With no rate measurement available the latency heuristic decides."""
+    from hiphase_tpu.parallel import engine_select as es
+
+    monkeypatch.setattr(es, "probe_accelerator", lambda **_: (True, 0.0001))
+    monkeypatch.setattr(es, "measure_engine_rates", lambda **_: None)
+    assert es.choose_engine("auto") == "tpu"
+
+
+def test_measure_native_rate_runs():
+    """The native half of the measurement produces a real positive rate on
+    the shared synthetic workload."""
+    from hiphase_tpu.parallel import engine_select as es
+
+    if not native.available():
+        pytest.skip("native library not built")
+    wl = es._synthetic_workload(blocks=2, variants=128)
+    rate = es._measure_native_rate(wl, width=256)
+    assert rate is not None and rate > 0
