@@ -454,9 +454,7 @@ class BamReader:
             span_end = c1
             if (cend & 0xFFFF) and len(head) >= 18:
                 span_end = c1 + (struct.unpack_from("<H", head, 16)[0] + 1)
-            self._rawfh.seek(c0)
-            comp = self._rawfh.read(max(span_end - c0, 0))
-            raw = native.bgzf_decompress_all_arr(comp)
+            raw = self._read_span_cached(c0, span_end)
             if raw is None:
                 return None
             raw = raw[cbeg & 0xFFFF:]
@@ -472,6 +470,90 @@ class BamReader:
             if keep.any():
                 out.append((raw, rec_off[keep], rec_size[keep]))
         return out
+
+    def _read_span_cached(self, c0: int, span_end: int):
+        """Decompress the compressed byte span [c0, span_end) — both BGZF
+        block boundaries — reusing the previously decoded span when the
+        request is contained in it (or extends past its end, in which case
+        only the new tail is inflated). Adjacent phase-block fetch windows
+        overlap by roughly a read length, so without this every block
+        boundary re-inflates the shared blocks (SURVEY §3.5 hot spot 4).
+
+        Returns the decompressed bytes (np.uint8) or None (native layer
+        unavailable / decode error — caller falls back)."""
+        from hiphase_tpu.io import native
+        import numpy as np
+        if span_end <= c0:
+            return np.empty(0, dtype=np.uint8)
+
+        def _block_offsets(comp: bytes, base: int):
+            """(compressed absolute offsets, cumulative uncompressed
+            offsets) of the blocks in ``comp`` — read from each block's
+            BSIZE header field and ISIZE trailer, no inflation."""
+            boffs = [base]
+            uoffs = [0]
+            pos = 0
+            n = len(comp)
+            while pos + 18 <= n:
+                bsize = struct.unpack_from("<H", comp, pos + 16)[0] + 1
+                if pos + bsize > n:
+                    break
+                isize = struct.unpack_from("<I", comp, pos + bsize - 4)[0]
+                pos += bsize
+                boffs.append(base + pos)
+                uoffs.append(uoffs[-1] + isize)
+            return boffs, uoffs
+
+        cache = getattr(self, "_span_cache", None)
+        if cache is not None:
+            cc0, cc1, raw, boffs, uoffs = cache
+            if cc0 <= c0 and span_end <= cc1:
+                import bisect
+                i = bisect.bisect_left(boffs, c0)
+                j = bisect.bisect_left(boffs, span_end)
+                if i < len(boffs) and boffs[i] == c0 \
+                        and j < len(boffs) and boffs[j] == span_end:
+                    return raw[uoffs[i]:uoffs[j]]
+            elif cc0 <= c0 < cc1 and span_end > cc1:
+                # extend: inflate only the new tail and keep one span
+                import bisect
+                i = bisect.bisect_left(boffs, c0)
+                if i < len(boffs) and boffs[i] == c0:
+                    self._rawfh.seek(cc1)
+                    comp = self._rawfh.read(span_end - cc1)
+                    tail = native.bgzf_decompress_all_arr(comp)
+                    if tail is None:
+                        return None
+                    tb, tu = _block_offsets(comp, cc1)
+                    boffs = boffs[:-1] + tb
+                    uoffs = uoffs[:-1] + [uoffs[-1] + u for u in tu]
+                    # keep whole decoded blocks only (drop any torn tail)
+                    raw = np.concatenate([raw, tail])[:uoffs[-1]]
+                    j = bisect.bisect_left(boffs, span_end)
+                    ok = j < len(boffs) and boffs[j] == span_end
+                    result = raw[uoffs[i]:uoffs[j]] if ok else None
+                    # bound the cache: windows move forward, so everything
+                    # before the current request start is dead weight
+                    if i > 0:
+                        u0 = uoffs[i]
+                        raw = raw[u0:]
+                        boffs = boffs[i:]
+                        uoffs = [u - u0 for u in uoffs[i:]]
+                    self._span_cache = (boffs[0], boffs[-1], raw, boffs,
+                                        uoffs)
+                    if ok:
+                        return result
+
+        self._rawfh.seek(c0)
+        comp = self._rawfh.read(span_end - c0)
+        raw = native.bgzf_decompress_all_arr(comp)
+        if raw is None:
+            return None
+        boffs, uoffs = _block_offsets(comp, c0)
+        # cache covers only whole decoded blocks (a torn trailing block
+        # can't be reused)
+        self._span_cache = (c0, boffs[-1], raw[:uoffs[-1]], boffs, uoffs)
+        return raw
 
     def stream_raw_window(self, chrom: str, start: int, end_incl: int):
         """Monotone streaming bulk fetch for the ordered writer:

@@ -114,18 +114,24 @@ def _step(state, inputs, beam_width: int):
     ref: astar_phaser.rs:89-108).
 
     Delta-cost formulation: instead of carrying both haplotype cost vectors
-    (c1, c2) per slot, carry ``delta = c1 − c2`` and the scalar
-    ``fbase = frozen + Σ_r c2_r``. Identities used:
-      min(c1, c2)          = c2 + min(delta, 0)
-      total cost           = frozen + Σ min(c1, c2) = fbase + Σ min(delta, 0)
-      fold of slot r       : frozen += c2_r + min(δ_r,0); Σc2 −= c2_r
-                             ⇒ fbase += min(δ_r, 0)   (the c2_r cancels!)
-      extension by (d1,d2) : delta += d1 − d2; fbase += Σ d2
-    This HALVES the per-slot state the selection gather must permute —
-    measured on v5e, that gather is the step's dominant cost (per-index
-    bound, see scripts/ablate_beam.py / ablate_gather.py).
+    (c1, c2) per slot, carry ONLY ``delta = c1 − c2`` per slot plus the
+    scalar total ``cost``. Identities used:
+      min(c1, c2)     = c2 + min(delta, 0)
+      total cost      = fbase + Σ_r min(δ_r, 0),  fbase := frozen + Σ_r c2_r
+      fold of slot r  : frozen += c2_r + min(δ_r,0); Σc2 −= c2_r
+                        ⇒ fbase += min(δ_r, 0)   (the c2_r cancels!)
+      extension (d1,d2): delta += d1 − d2; fbase += Σ d2
+    and crucially the INVARIANT  cost = fbase + Σ min(δ, 0)  holds at every
+    step boundary (a fold moves min(δ_r,0) from the sum into fbase, leaving
+    the total unchanged), so fbase itself never needs to be stored: it is
+    recovered as cost − m0. Likewise ``identical`` (symmetry-breaking
+    flag) ⟺ hets == 0. The survivor permutation therefore gathers exactly
+    ONE array — delta — which matters because on TPU that gather is the
+    step's dominant, per-index-bound cost (see scripts/ablate_beam.py,
+    scripts/ablate_gather.py): the (c1, c2, frozen, ident) formulation paid
+    for three additional gathers of the same index set.
     """
-    delta, fbase, cost, hets, identical, valid = state
+    delta, cost, hets, valid = state
     # a_j: [B, R] slot alleles at this variant; q_j: [B, R] int32 quals
     a_j, q_j, skip, reset_next = inputs  # skip: [B]; reset_next: [B, R]
     B, W, R = delta.shape
@@ -149,11 +155,15 @@ def _step(state, inputs, beam_width: int):
                  dtype=jnp.int32)
     mm = jnp.sum(jnp.minimum(delta - e0[:, None, :], 0), axis=-1,
                  dtype=jnp.int32)
+    # cand_cost = fbase + D2[c] + m_c with fbase = cost − m0 (invariant).
+    # Invalid slots carry cost = BIG, but |m_c − m0| ≤ Σ|e0| keeps the
+    # masked-out expression comfortably inside int32.
+    base = cost - m0
     cand_cost = jnp.stack([
-        fbase + D2[:, 0:1] + mp,   # 0|1
-        fbase + D2[:, 1:2] + mm,   # 1|0
-        fbase + D2[:, 2:3] + m0,   # 0/0
-        fbase + D2[:, 3:4] + m0,   # 1/1
+        base + D2[:, 0:1] + mp,   # 0|1
+        base + D2[:, 1:2] + mm,   # 1|0
+        base + D2[:, 2:3] + m0,   # 0/0
+        base + D2[:, 3:4] + m0,   # 1/1
     ], axis=-1)  # [B, W, 4]
 
     choice_ids = jax.lax.broadcasted_iota(jnp.int32, (B, W, 4), 2)
@@ -161,9 +171,7 @@ def _step(state, inputs, beam_width: int):
 
     het_inc = jnp.where(skip[:, None, None], 0, 1 - (choice_ids >> 1))
     cand_hets = hets[:, :, None] + het_inc
-    cand_ident = jnp.where(
-        skip[:, None, None], identical[:, :, None],
-        identical[:, :, None] & (choice_ids >> 1).astype(bool))
+    identical = hets == 0  # no het choice yet ⟺ haplotypes identical
 
     cand_valid = jnp.broadcast_to(valid[:, :, None], (B, W, 4))
     # symmetry breaking: no 1|0 while haplotypes identical
@@ -191,8 +199,6 @@ def _step(state, inputs, beam_width: int):
     new_valid = new_cost < BIG
 
     bidx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-    new_ident = cand_ident.reshape(B, W * 4)[bidx, sel_flat]
-
     n_valid = jnp.sum(cand_valid.reshape(B, W * 4), axis=-1, dtype=jnp.int32)
     pruned_now = jnp.maximum(n_valid - beam_width, 0)
     # cheapest discarded candidate (the first sorted-out entry); BIG when the
@@ -202,24 +208,18 @@ def _step(state, inputs, beam_width: int):
         else jnp.full((B,), BIG, dtype=jnp.int32)
 
     # gather the survivors' per-slot deltas (the step's dominant cost —
-    # ONE [B, W, R] array in the delta formulation) and roll the chosen
-    # extension in; e(c) is +e0 for 0|1, −e0 for 1|0, 0 for homs/skips
+    # the ONE gathered array in this formulation) and roll the chosen
+    # extension in; e(c) is +e0 for 0|1, −e0 for 1|0, 0 for homs/skips.
+    # The lookahead fold is just zeroing finished slots: the carried cost
+    # already equals fbase + Σ min(δ,0) whether or not the fold happened
+    # (the fold moves a min(δ_r,0) term between the two summands).
     pdelta = delta[bidx, sel_parent]  # [B, W, R]
     sgn = jnp.where(sel_choice == 0, 1,
                     jnp.where(sel_choice == 1, -1, 0))      # [B, W]
     new_delta = pdelta + sgn[:, :, None] * e0[:, None, :]
-    new_fbase = fbase[bidx, sel_parent] + D2[bidx, sel_choice]
+    new_delta = jnp.where(reset_next[:, None, :], 0, new_delta)
 
-    # lookahead fold: slots whose read ends before the next column fold
-    # min(delta, 0) into the scalar base and restart at zero
-    rn = reset_next[:, None, :]
-    new_fbase = new_fbase + jnp.sum(
-        jnp.where(rn, jnp.minimum(new_delta, 0), 0), axis=-1,
-        dtype=jnp.int32)
-    new_delta = jnp.where(rn, 0, new_delta)
-
-    new_state = (new_delta, new_fbase, new_cost, new_hets, new_ident,
-                 new_valid)
+    new_state = (new_delta, new_cost, new_hets, new_valid)
     return new_state, (sel_parent.astype(jnp.int16),
                        sel_choice.astype(jnp.int8),
                        pruned_now, discard_min)
@@ -227,16 +227,14 @@ def _step(state, inputs, beam_width: int):
 
 def beam_init_state(batch: int, num_slots: int, beam_width: int):
     """Fresh beam state for a batch (numpy; transferred/sharded on first
-    tile call). Layout: (delta [B,W,R], fbase [B,W], cost, hets,
-    identical, valid) — see the delta-cost formulation in `_step`."""
+    tile call). Layout: (delta [B,W,R], cost [B,W], hets [B,W],
+    valid [B,W]) — see the delta-cost formulation in `_step`."""
     B, R, W = batch, num_slots, beam_width
     valid = np.zeros((B, W), dtype=bool)
     valid[:, 0] = True
     return (np.zeros((B, W, R), dtype=np.int32),
             np.zeros((B, W), dtype=np.int32),
             np.zeros((B, W), dtype=np.int32),
-            np.zeros((B, W), dtype=np.int32),
-            np.ones((B, W), dtype=bool),
             valid)
 
 
@@ -254,11 +252,10 @@ def beam_init_device(batch: int, num_slots: int, beam_width: int,
         def make():
             c = jnp.zeros((batch, beam_width, num_slots), jnp.int32)
             z = jnp.zeros((batch, beam_width), jnp.int32)
-            ident = jnp.ones((batch, beam_width), bool)
             valid = jax.lax.broadcasted_iota(
                 jnp.int32, (batch, beam_width), 1) == 0
-            return (c, z, z, z, ident, valid)
-        out_sh = None if sharding is None else (sharding,) * 6
+            return (c, z, z, valid)
+        out_sh = None if sharding is None else (sharding,) * 4
         fn = jax.jit(make, out_shardings=out_sh)
         _INIT_CACHE[key] = fn
     return fn()
@@ -391,8 +388,8 @@ def backtrace_tile(slot, parents, choices, skip):
 def pack_job_stats(state, traces):
     """Device-side packing of (cost, hets, pruned_cnt, discard_min) into one
     int32 array [2 + 2·Vp, B] so materialization is a single transfer."""
-    cost = state[2][:, 0].astype(jnp.int32)
-    hets = state[3][:, 0].astype(jnp.int32)
+    cost = state[1][:, 0].astype(jnp.int32)
+    hets = state[2][:, 0].astype(jnp.int32)
     cnt = [t[2] for t in traces]
     dmin = [t[3] for t in traces]
     return jnp.concatenate([cost[None], hets[None]] + cnt + dmin, axis=0)
