@@ -165,7 +165,12 @@ def _dstep(state, inputs, beam_width: int, variant: str):
                        sel_choice.astype(jnp.int8))
 
 
+SLIM_VARIANTS = ("snofull", "snosort", "snogath", "s16")
+
+
 def _step_variant(state, inputs, beam_width: int, variant: str):
+    if variant in SLIM_VARIANTS:
+        return _sstep(state, inputs, beam_width, variant)
     if variant.startswith("d"):
         return _dstep(state, inputs, beam_width, variant)
     c1, c2, frozen, cost, hets, identical, valid = state
@@ -287,7 +292,12 @@ def main():
     skip = np.zeros((B, T), dtype=bool)
     resets = np.zeros((B, R, T), dtype=bool)
     dev_in = [jax.device_put(x) for x in (alleles, quals, skip, resets)]
-    if args.variant.startswith("d"):
+    if args.variant in SLIM_VARIANTS:
+        init = beam_init_state(B, R, W)  # production slim 4-tuple
+        if args.variant == "s16":
+            init = (init[0].astype(np.int16),) + init[1:]
+        ci = 1
+    elif args.variant.startswith("d"):
         init = beam_init_state(B, R, W)  # delta-form 6-tuple
         if args.variant == "dlook":
             z = np.zeros((B, W), dtype=np.int32)
@@ -326,6 +336,69 @@ def main():
         "hets_per_sec": round(B * T / best, 1),
     }))
     return 0
+
+
+# --- variants of the PRODUCTION slim step (delta, cost, hets, valid) ---
+# snofull: replicate production; snosort: selection = first W; snogath:
+# keep delta unpermuted; s16: delta carried as int16.
+def _sstep(state, inputs, beam_width: int, variant: str):
+    import jax
+    import jax.numpy as jnp
+    delta, cost, hets, valid = state
+    a_j, q_j, skip, reset_next = inputs
+    B, W, R = delta.shape
+    qe = jnp.where(skip[:, None], 0, q_j)
+    q_if0 = jnp.where(a_j == 0, qe, 0)
+    q_if1 = jnp.where(a_j == 1, qe, 0)
+    e0 = q_if1 - q_if0
+    sum_q0 = jnp.sum(q_if0, axis=-1, dtype=jnp.int32)
+    sum_q1 = jnp.sum(q_if1, axis=-1, dtype=jnp.int32)
+    D2 = jnp.stack([sum_q0, sum_q1, sum_q1, sum_q0], axis=-1)
+    m0 = jnp.sum(jnp.minimum(delta, 0), axis=-1, dtype=jnp.int32)
+    mp = jnp.sum(jnp.minimum(delta + e0[:, None, :], 0), axis=-1,
+                 dtype=jnp.int32)
+    mm = jnp.sum(jnp.minimum(delta - e0[:, None, :], 0), axis=-1,
+                 dtype=jnp.int32)
+    base = cost - m0
+    cand_cost = jnp.stack([
+        base + D2[:, 0:1] + mp, base + D2[:, 1:2] + mm,
+        base + D2[:, 2:3] + m0, base + D2[:, 3:4] + m0], axis=-1)
+    choice_ids = jax.lax.broadcasted_iota(jnp.int32, (B, W, 4), 2)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (B, W, 4), 1)
+    het_inc = jnp.where(skip[:, None, None], 0, 1 - (choice_ids >> 1))
+    cand_hets = hets[:, :, None] + het_inc
+    identical = hets == 0
+    cand_valid = jnp.broadcast_to(valid[:, :, None], (B, W, 4))
+    cand_valid &= ~(identical[:, :, None] & (choice_ids == 1))
+    cand_valid &= (~skip[:, None, None]) | (choice_ids == 0)
+    order_bits = order_bits_for(beam_width)
+    hets_cap = max_hets_for(beam_width)
+    order = slot_ids * 4 + choice_ids
+    k_cost = jnp.where(cand_valid, cand_cost, BIG).reshape(B, W * 4)
+    k_sec = ((hets_cap - cand_hets) << order_bits | order).reshape(B, W * 4)
+    if variant == "snosort":
+        new_cost, sec = k_cost[:, :beam_width], k_sec[:, :beam_width]
+    else:
+        sorted_cost, sorted_sec = jax.lax.sort((k_cost, k_sec), num_keys=2)
+        new_cost = sorted_cost[:, :beam_width]
+        sec = sorted_sec[:, :beam_width]
+    sel_flat = sec & ((1 << order_bits) - 1)
+    sel_parent = sel_flat >> 2
+    sel_choice = sel_flat & 3
+    new_hets = hets_cap - (sec >> order_bits)
+    new_valid = new_cost < BIG
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    if variant == "snogath":
+        new_delta = delta
+    else:
+        pdelta = delta[bidx, sel_parent]
+        sgn = jnp.where(sel_choice == 0, 1,
+                        jnp.where(sel_choice == 1, -1, 0))
+        nd = pdelta + sgn[:, :, None] * e0[:, None, :]
+        nd = jnp.where(reset_next[:, None, :], 0, nd)
+        new_delta = nd.astype(delta.dtype)
+    return ((new_delta, new_cost, new_hets, new_valid),
+            (sel_parent.astype(jnp.int16), sel_choice.astype(jnp.int8)))
 
 
 if __name__ == "__main__":
