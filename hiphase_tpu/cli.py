@@ -111,6 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
     aa.add_argument("--global-failure-count", dest="global_failure_minimum",
                     type=int, default=50,
                     help="Minimum failures before the ratio applies")
+    aa.add_argument("--wfa-engine", choices=["host", "device"],
+                    default="host",
+                    help="Graph-WFA aligner for global realignment: 'host' "
+                         "(C++ wavefront) or 'device' (accelerator banded-DP"
+                         " kernel; uncertifiable reads fall back per-read)")
 
     ph = p.add_argument_group("Phasing")
     ph.add_argument("--phase-min-queue-size", dest="phase_min_queue_size",
@@ -172,7 +177,8 @@ def global_realignment_config(args):
         max_edit_distance=args.max_edit_distance,
         wfa_prune_distance=args.wfa_prune_distance,
         global_failure_ratio=args.global_failure_ratio,
-        global_failure_minimum=args.global_failure_minimum)
+        global_failure_minimum=args.global_failure_minimum,
+        wfa_engine=args.wfa_engine)
 
 
 def main(argv=None) -> int:

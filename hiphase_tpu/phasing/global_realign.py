@@ -132,7 +132,8 @@ def global_realignment(phase_problem: PhaseBlock, read: BamRecord,
                        variant_calls: list[Variant], hom_calls: list[Variant],
                        reference_genome: ReferenceGenome,
                        wfa_prune_distance: int, global_max_edit_distance: int,
-                       wfa_pack: WfaBlockPack | None = None
+                       wfa_pack: WfaBlockPack | None = None,
+                       wfa_engine: str = "host"
                        ) -> tuple[np.ndarray, np.ndarray, ReadStats, int]:
     """(ref: read_parsing.rs:652-867). Raises WFAGraphError on max-ED."""
     from hiphase_tpu.phasing.read_parsing import build_r2q
@@ -188,7 +189,7 @@ def global_realignment(phase_problem: PhaseBlock, read: BamRecord,
     chrom_seq = reference_genome.get_full_chromosome(phase_problem.chrom)
     alleles = np.full(num_variants, NOV, dtype=np.uint8)
     score = None
-    if wfa_pack is not None:
+    if wfa_pack is not None and wfa_engine != "device":
         # fast path: block-level pack → native build + align, zero per-read
         # python graph work (the C++ builder window-filters identically)
         score = _native_global_assign(
@@ -201,8 +202,20 @@ def global_realignment(phase_problem: PhaseBlock, read: BamRecord,
             hom_calls[first_hom_overlap:last_hom_overlap],
             min_position, max_position + 1,
             global_max_edit_distance)
-        wfa_result = wfa_graph.edit_distance_with_pruning(
-            read_align, wfa_prune_distance)  # raises WFAGraphError on max-ED
+        wfa_result = None
+        if wfa_engine == "device":
+            from hiphase_tpu.align.wfa_device import align_reads_device
+            got = align_reads_device(wfa_graph, [read_align])[0]
+            if got is not None:
+                dev_score, traversed = got
+                if dev_score > global_max_edit_distance:
+                    raise WFAGraphError(global_max_edit_distance)
+                from hiphase_tpu.align.wfa_graph import WFAResult
+                wfa_result = WFAResult(dev_score, traversed)
+            # uncertified (band ladder exhausted): host aligner fallback
+        if wfa_result is None:
+            wfa_result = wfa_graph.edit_distance_with_pruning(
+                read_align, wfa_prune_distance)  # raises on max-ED
         score = wfa_result.score
         for node_index in wfa_result.traversed_nodes:
             for var_index, allele_assignment in node_to_alleles.get(
@@ -333,7 +346,8 @@ def _global_batch_chunk(raw, rec_off, rec_size, phase_problem, variant_calls,
             alleles, quals, rstats, _sc = global_realignment(
                 phase_problem, rec, variant_calls, hom_calls,
                 reference_genome, config.wfa_prune_distance,
-                config.max_edit_distance, wfa_pack=None)
+                config.max_edit_distance, wfa_pack=None,
+                wfa_engine=config.wfa_engine)
             py_rows[i] = ("global", alleles, quals, rstats)
         except WFAGraphError:
             alleles, quals, rstats = local_realignment(rec, variant_calls,
@@ -431,7 +445,9 @@ def load_full_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
     wfa_pack = WfaBlockPack(variant_calls, hom_calls) \
         if native_mod.available() else None
 
-    if wfa_pack is not None:
+    # the batched chunk path runs the HOST aligner in C++; when the device
+    # WFA engine is requested, route reads through the per-read path below
+    if wfa_pack is not None and config.wfa_engine != "device":
         ladder = _Ladder(config)
         chrom_seq = reference_genome.get_full_chromosome(phase_problem.chrom)
         batched_ok = True
@@ -477,7 +493,8 @@ def load_full_read_segments(phase_problem: PhaseBlock, bam_paths: list[str],
                     alleles, quals, read_stats, _score = global_realignment(
                         phase_problem, read, variant_calls, hom_calls,
                         reference_genome, config.wfa_prune_distance,
-                        config.max_edit_distance, wfa_pack=wfa_pack)
+                        config.max_edit_distance, wfa_pack=wfa_pack,
+                        wfa_engine=config.wfa_engine)
                 except WFAGraphError:
                     logger.debug("Reverting to local re-alignment for %s...",
                                  read.read_name)

@@ -54,11 +54,16 @@ class GlobalRealignmentConfig:
     def __init__(self, max_edit_distance: int = 500,
                  wfa_prune_distance: int = 500,
                  global_failure_ratio: float = 0.5,
-                 global_failure_minimum: int = 50):
+                 global_failure_minimum: int = 50,
+                 wfa_engine: str = "host"):
         self.max_edit_distance = max_edit_distance
         self.wfa_prune_distance = wfa_prune_distance
         self.global_failure_ratio = global_failure_ratio
         self.global_failure_minimum = global_failure_minimum
+        # 'host' = C++/Python wavefront aligner; 'device' = banded-DP
+        # accelerator kernel (align/wfa_device.py) with per-read host
+        # fallback for reads its band ladder cannot certify
+        self.wfa_engine = wfa_engine
 
 
 def build_r2q(read: BamRecord) -> tuple[np.ndarray, int]:
