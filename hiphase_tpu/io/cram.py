@@ -39,6 +39,7 @@ EOF_START = 4_542_278  # 0x454F46 "EOF" — marks the spec EOF container
 BLOCK_RAW = 0
 BLOCK_GZIP = 1
 BLOCK_RANS4X8 = 4  # htslib's default for many external series
+BLOCK_RANSNX16 = 5  # CRAM 3.1 rANS Nx16
 
 CT_FILE_HEADER = 0
 CT_COMPRESSION_HEADER = 1
@@ -166,6 +167,11 @@ def _write_block(out: bytearray, method: int, ctype: int, content_id: int,
         comp = rans.compress(data, order=0)
         if len(comp) >= len(data) or not data:
             method, comp = BLOCK_RAW, data
+    elif method == BLOCK_RANSNX16:
+        from hiphase_tpu.io import rans_nx16
+        comp = rans_nx16.compress(data, order=0)
+        if len(comp) >= len(data) or not data:
+            method, comp = BLOCK_RAW, data
     else:
         comp = data
     blk = bytearray()
@@ -197,6 +203,9 @@ def _read_block(buf, pos: int):
         data = native.rans_uncompress(comp, usize)
         if data is None:  # no native lib / malformed: the oracle decides
             data = rans.uncompress(comp)
+    elif method == BLOCK_RANSNX16:
+        from hiphase_tpu.io import rans_nx16
+        data = rans_nx16.uncompress(comp)
     else:
         raise CramError(f"unsupported CRAM block compression method {method}")
     if len(data) != usize:
@@ -798,9 +807,10 @@ class CramWriter:
 
     def __init__(self, path: str, header, reference_genome, level: int = 6,
                  io_threads: int = 0, codec: str = "gzip"):
-        if codec not in ("gzip", "rans"):
+        if codec not in ("gzip", "rans", "ransNx16"):
             raise CramError(f"unsupported CRAM codec {codec!r}")
-        self._ext_method = BLOCK_GZIP if codec == "gzip" else BLOCK_RANS4X8
+        self._ext_method = {"gzip": BLOCK_GZIP, "rans": BLOCK_RANS4X8,
+                            "ransNx16": BLOCK_RANSNX16}[codec]
         self.path = path
         self.header = header
         self._ref = reference_genome
