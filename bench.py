@@ -227,9 +227,13 @@ def main():
 
     if not args.skip_device:
         # forced-device e2e: measures the device pipeline's transfer
-        # economics every round, even when `auto` routes to the host
+        # economics every round, even when `auto` routes to the host.
+        # The per-call device deadline is raised so a cold remote compile
+        # measures as slow rather than as a failover — this config exists
+        # to measure economics, not the resilience path.
+        denv = dict(os.environ, HIPHASE_TPU_DEVICE_TIMEOUT="240")
         d = _run_json(base_cmd + ["--engine", "tpu"],
-                      timeout=budget.grant(120))
+                      timeout=budget.grant(185), env=denv)
         if d is not None:
             dm = {
                 "e2e_phased_hets_per_sec": d["value"],
