@@ -154,9 +154,12 @@ def main():
     bench_e2e.ensure_dataset(bench_e2e.build_args(["--mb", str(args.mb)]))
 
     base_cmd = [sys.executable, e2e, "--mb", str(args.mb)]
+    # per-rep cap scales with dataset size (local mode runs ~1 s per 3 Mb
+    # warm; 2x headroom + a floor for process/start costs)
+    rep_cap = max(60, min(2 * args.mb, 180))
     attempts = []
     for _ in range(1 + args.reps):
-        attempts.append(_run_json(base_cmd, timeout=budget.grant(60)))
+        attempts.append(_run_json(base_cmd, timeout=budget.grant(rep_cap)))
     runs = [r for r in attempts if r is not None]
     if not runs:
         print(json.dumps({"metric": "e2e_phased_hets_per_sec", "value": 0,

@@ -107,10 +107,10 @@ def linearize_graph(graph) -> GraphArrays:
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("H", "n_nodes", "last_node", "c_end"))
+    static_argnames=("H", "n_nodes"))
 def wfa_forward_backward(pchar, pnode, pstart, pend, c_out, par_idx,
                          par_shift, reads, read_len, H: int, n_nodes: int,
-                         last_node: int, c_end: int):
+                         last_node, c_end):
     """Banded forward DP + backward optimal-path marking.
 
     Args: graph position arrays (see GraphArrays), reads [B, Lr] int32
@@ -183,7 +183,8 @@ def wfa_forward_backward(pchar, pnode, pstart, pend, c_out, par_idx,
 
     kstar = read_len - c_end + H
     in_band = (kstar >= 0) & (kstar < Wb)
-    last = endcols[:, last_node, :]
+    last = jax.lax.dynamic_slice(endcols, (0, last_node, 0),
+                                 (B, 1, Wb))[:, 0, :]
     score = jnp.take_along_axis(
         last, jnp.clip(kstar, 0, Wb - 1)[:, None], axis=1)[:, 0]
     score = jnp.where(in_band, score, INF)
@@ -213,7 +214,8 @@ def wfa_forward_backward(pchar, pnode, pstart, pend, c_out, par_idx,
     mark_final = (karr[None, :] == kstar[:, None]) & in_band[:, None] \
         & (score[:, None] < INF)
     mark_end0 = jnp.zeros((B, n_nodes, Wb), bool)
-    mark_end0 = mark_end0.at[:, last_node, :].set(mark_final)
+    mark_end0 = jax.lax.dynamic_update_slice(
+        mark_end0, mark_final[:, None, :], (0, last_node, 0))
     trav0 = jnp.zeros((B, n_nodes), bool)
 
     def bwd_step(carry, xs):
@@ -352,7 +354,7 @@ def align_reads_device(graph, reads: list[bytes], h_ladder=H_LADDER):
             jax.device_put(c_out), jax.device_put(par_idx),
             jax.device_put(par_shift), jax.device_put(arr),
             jax.device_put(rl), H=H, n_nodes=N,
-            last_node=ga.last_node, c_end=ga.c_end)
+            last_node=np.int32(ga.last_node), c_end=np.int32(ga.c_end))
         score = np.asarray(score)
         trav = np.asarray(trav)
         nxt = []

@@ -73,8 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "optimal at this width re-solve at the full "
                         "--phase-min-queue-size width (default: solve "
                         "directly at the full width)")
-    p.add_argument("--batch-size", type=int, default=32,
-                   help="TPU engine blocks per device batch")
+    p.add_argument("--batch-size", type=int, default=64,
+                   help="TPU engine blocks per device batch (cap; the "
+                        "per-bucket defaults are sized to the measured "
+                        "kernel sweet spot)")
 
     filt = p.add_argument_group("Variant Filtering")
     filt.add_argument("--min-vcf-qual", dest="min_variant_quality", type=int,

@@ -154,6 +154,11 @@ def _write_freqs_o0(out: bytearray, freqs: list[int]) -> None:
 
 
 def _read_freqs_o0(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """Returns (freqs, pos). The table total must be a power of two (the
+    spec normalizes order-0 tables to 4096 and order-1 rows to 4096 or
+    1024); the decoder derives the shift from the actual total rather
+    than guessing — a non-power-of-two total is a corrupt stream and
+    raises instead of silently mis-decoding."""
     syms, pos = _read_alphabet(buf, pos)
     freqs = [0] * 256
     for s in syms:
@@ -161,8 +166,9 @@ def _read_freqs_o0(buf: bytes, pos: int) -> tuple[list[int], int]:
     total = sum(freqs)
     if total == 0:
         raise RansNx16Error("empty frequency table")
-    if total != TOTFREQ:  # renormalize (tolerant decoder)
-        freqs = _normalize(freqs, TOTFREQ)
+    if total & (total - 1):
+        raise RansNx16Error(
+            f"frequency table total {total} is not a power of two")
     return freqs, pos
 
 
@@ -202,8 +208,9 @@ def _enc_core(data: bytes, freqs: list[int], nstates: int) -> bytes:
 def _dec_core(buf: bytes, pos: int, freqs: list[int], nstates: int,
               n_out: int) -> tuple[bytearray, int]:
     cum = _cum(freqs)
-    # symbol lookup: 12-bit slot -> symbol
-    lut = bytearray(TOTFREQ)
+    total = cum[256]                  # power of two (checked on read)
+    shift = total.bit_length() - 1
+    lut = bytearray(total)
     for s in range(256):
         if freqs[s]:
             for k in range(cum[s], cum[s + 1]):
@@ -215,10 +222,10 @@ def _dec_core(buf: bytes, pos: int, freqs: list[int], nstates: int,
     for i in range(n_out):
         j = i % nstates
         x = states[j]
-        m = x & (TOTFREQ - 1)
+        m = x & (total - 1)
         s = lut[m]
         out[i] = s
-        x = freqs[s] * (x >> TF_SHIFT) + m - cum[s]
+        x = freqs[s] * (x >> shift) + m - cum[s]
         if x < RANS_L:
             if pos + 2 <= n:
                 x = (x << 16) | struct.unpack_from("<H", buf, pos)[0]
@@ -301,11 +308,14 @@ def _dec_o1(buf: bytes, pos: int, nstates: int, n_out: int
     freqs = [None] * 256
     cums = [None] * 256
     luts = [None] * 256
+    shifts = [0] * 256
     for c in ctxs:
         f, tpos = _read_freqs_o0(table, tpos)
         freqs[c] = f
         cums[c] = _cum(f)
-        lut = bytearray(TOTFREQ)
+        row_total = cums[c][256]
+        shifts[c] = row_total.bit_length() - 1
+        lut = bytearray(row_total)
         for s in range(256):
             if f[s]:
                 for k in range(cums[c][s], cums[c][s + 1]):
@@ -327,10 +337,10 @@ def _dec_o1(buf: bytes, pos: int, nstates: int, n_out: int
         if freqs[ctx] is None:
             raise RansNx16Error(f"order-1 context {ctx} missing")
         x = states[j]
-        m = x & (TOTFREQ - 1)
+        m = x & (len(luts[ctx]) - 1)
         s = luts[ctx][m]
         out[i] = s
-        x = freqs[ctx][s] * (x >> TF_SHIFT) + m - cums[ctx][s]
+        x = freqs[ctx][s] * (x >> shifts[ctx]) + m - cums[ctx][s]
         if x < RANS_L:
             if pos + 2 <= n:
                 x = (x << 16) | struct.unpack_from("<H", buf, pos)[0]
@@ -494,6 +504,8 @@ def compress(data: bytes, order: int = 0, nway32: bool = False,
         _put_uint7(out, pack_len)
     if flags & F_RLE:
         out += rle_meta
+    if not payload:
+        return bytes(out)  # e.g. PACK of a constant buffer: nothing coded
     if order:
         out += _enc_o1(payload, nstates)
     else:
@@ -569,6 +581,17 @@ def _uncompress_body(buf: bytes, pos: int, flags: int, ulen: int,
         n_rans = packed_len
     if flags & F_RLE:
         n_rans = rle_len
+
+    if n_rans == 0:
+        data = b""
+        if flags & F_RLE:
+            data = _rle_decode(rle_meta, data,
+                               packed_len if flags & F_PACK else ulen)
+        if flags & F_PACK:
+            data = _pack_decode(data, pack_syms, ulen)
+        if len(data) != ulen:
+            raise RansNx16Error(f"decoded {len(data)} bytes, want {ulen}")
+        return data
 
     if flags & F_ORDER1:
         data, pos = _dec_o1(buf, pos, nstates, n_rans)

@@ -291,8 +291,13 @@ def measure_engine_rates(timeout: float = MEASURE_TIMEOUT) -> dict | None:
     import time
     d = _cache_load()
     r = d.get("rates")
-    if r is not None and time.time() - r.get("time", 0) < RATE_CACHE_TTL:
-        return {"device": r["device"], "native": r["native"]}
+    if r is not None:
+        ttl = RATE_CACHE_TTL if not r.get("failed") \
+            else PROBE_CACHE_TTL_UNHEALTHY
+        if time.time() - r.get("time", 0) < ttl:
+            if r.get("failed"):
+                return None
+            return {"device": r["device"], "native": r["native"]}
 
     width = 1024  # the default full queue width (cli --phase-min-queue-size)
     workload = _synthetic_workload()
@@ -314,6 +319,9 @@ def measure_engine_rates(timeout: float = MEASURE_TIMEOUT) -> dict | None:
     if not box or box[0] is None:
         logger.warning("Device rate measurement failed or exceeded %.0fs",
                        timeout)
+        # cache the failure briefly: a probe-healthy-but-stalling link
+        # must not cost MEASURE_TIMEOUT in every process
+        _cache_store({"rates": {"failed": True, "time": time.time()}})
         return None
     rates = {"device": box[0], "native": native_rate}
     _cache_store({"rates": {"device": rates["device"],

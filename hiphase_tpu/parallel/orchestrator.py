@@ -55,10 +55,12 @@ AMB = int(AlleleType.AMBIGUOUS)
 # *concurrent* reads (interval-packed), so even megabase blocks stay within a
 # few hundred slots at WGS coverage; beyond the ladder → host A* fallback.
 READ_BUCKETS = (128, 512, 1024)
-# blocks per device batch for each slot bucket (device work per batch stays
-# roughly constant; every batch is padded to exactly this size so each
-# (bucket, width) pair is ONE compiled program)
-BUCKET_BATCH = {128: 16, 512: 8, 1024: 4}
+# blocks per device batch for each slot bucket (every batch is padded to
+# exactly this size so each (bucket, width) pair is ONE compiled program).
+# Sized from the measured kernel sweet spot: hets/s/chip peaks near B=64
+# at the 128-slot bucket (scripts/ablate_beam.py; B=16 leaves 4x on the
+# table) and the [B, W, R] delta state stays well inside HBM.
+BUCKET_BATCH = {128: 64, 512: 16, 1024: 8}
 # variant-tile size: the kernel's static column count
 TILE = 128
 # in-flight device batches before the oldest is forced to materialize

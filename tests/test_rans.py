@@ -227,3 +227,24 @@ def test_cram_rans_nx16_blocks_roundtrip(tmp_path):
                     rec.query_sequence()))
     rdr.close()
     assert got == original and len(got) > 10
+
+
+def test_rans_nx16_constant_and_odd_tables():
+    """Regression: PACK of a constant buffer (empty rANS payload) must
+    round-trip, and a frequency table with a non-power-of-two total must
+    raise rather than silently mis-decode."""
+    import pytest as _pytest
+
+    from hiphase_tpu.io import rans_nx16 as rn
+
+    for d in (b"AAAAAAAA", b"A" * 4097):
+        for order in (0, 1):
+            enc = rn.compress(d, order=order, use_pack=True)
+            assert rn.uncompress(enc) == d
+    # corrupt table: total 4095
+    f = [0] * 256
+    f[65], f[66] = 4000, 95
+    body = bytearray()
+    rn._write_freqs_o0(body, f)
+    with _pytest.raises(rn.RansNx16Error):
+        rn._read_freqs_o0(bytes(body), 0)
