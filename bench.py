@@ -202,8 +202,19 @@ def main():
             out["e2e_node_expansions_per_sec"] = round(
                 best_run["node_expansions"] / sol, 1)
 
+    def _best_of(cmd, reps, cap, env=None):
+        """Best (fastest) of up to `reps` runs, each budget-capped — this
+        box swings +-25% with noisy neighbors, so a single rep is noise."""
+        best = None
+        for _ in range(reps):
+            r = _run_json(cmd, timeout=budget.grant(cap), env=env)
+            if r is not None and (best is None
+                                  or r["elapsed_s"] < best["elapsed_s"]):
+                best = r
+        return best
+
     if not args.skip_global:
-        g = _run_json(base_cmd + ["--global"], timeout=budget.grant(100))
+        g = _best_of(base_cmd + ["--global"], 2, 60)
         if g is not None:
             out["global_mode"] = {
                 "e2e_phased_hets_per_sec": g["value"],
@@ -216,8 +227,7 @@ def main():
 
     if not args.skip_full_output:
         # dual + haplotagged BAM: the heaviest real-user configuration
-        f = _run_json(base_cmd + ["--global", "--output-bam"],
-                      timeout=budget.grant(120))
+        f = _best_of(base_cmd + ["--global", "--output-bam"], 2, 70)
         if f is not None:
             out["full_output_mode"] = {
                 "e2e_phased_hets_per_sec": f["value"],
